@@ -1,0 +1,111 @@
+"""Multi-span speech-editing inference (reference models/voicecraft.py:561-906
++ inference_speech_editing_scale.py:40-127 + edit_utils.py).
+
+Also contains the word-diff span computation (``get_span``) and the
+MFA-alignment-to-codec-frames conversion used by the editing CLI.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..data import spans
+from ..models.voicecraft import SamplingConfig
+from .tts import run_decode
+
+
+def inference_edit(params, cfg: ModelConfig, x_tokens: np.ndarray,
+                   y_codes: np.ndarray,
+                   mask_intervals: Sequence[Tuple[int, int]],
+                   scfg: SamplingConfig = SamplingConfig(),
+                   seed: int = 1, gen_max=None) -> np.ndarray:
+    """Regenerate the masked codec-frame intervals of ``y_codes`` [K, T].
+
+    Returns the spliced codes [K, T'] (reference voicecraft.py:893-906).
+    """
+    if cfg.special_first:
+        y_codes = y_codes + cfg.n_special
+    mask_intervals = sorted((int(s), int(e)) for s, e in mask_intervals)
+    prefix, queue_ids = spans.compose_edit_prefix(y_codes, mask_intervals, cfg)
+    m = len(mask_intervals)
+    gen = run_decode(params, cfg, is_tts=False, x_tokens=x_tokens,
+                     prefix=prefix, queue_mask_ids=queue_ids, n_spans=m,
+                     scfg=scfg, seed=seed, gen_max=gen_max)
+
+    y_len = y_codes.shape[1]
+    starts = [s for s, _ in mask_intervals]
+    ends = [e for _, e in mask_intervals]
+    non_mask = list(zip([0] + ends, starts + [y_len]))
+    parts = []
+    for j, (lo, hi) in enumerate(non_mask[:-1]):
+        parts.append(y_codes[:, lo:hi])
+        parts.append(gen[j])
+    lo, hi = non_mask[-1]
+    parts.append(y_codes[:, lo:hi])
+    res = np.concatenate(parts, axis=1)
+    if cfg.special_first:
+        res = res - cfg.n_special
+    return res
+
+
+# ---- edit span computation (reference edit_utils.py:1-49) ---------------------
+
+def get_span(orig: str, new: str, editType: str) -> Tuple[List[int], List[int]]:
+    """Word-level diff between transcripts -> (orig_span, new_span) word-index
+    intervals.  Behavioural port of reference edit_utils.get_span
+    (edit_utils.py:1-49): the edited block is assumed contiguous; deletion /
+    insertion spans start at the first diverging word (the changed block must
+    not reach the end of the shorter transcript — the reference raises there
+    too); substitution spans run from the first to the last diverging word.
+    """
+    orig_list = orig.split(" ")
+    new_list = new.split(" ")
+
+    if editType == "deletion":
+        assert len(orig_list) > len(new_list), (orig, new)
+        diff = len(orig_list) - len(new_list)
+        for i, (o, n) in enumerate(zip(orig_list, new_list)):
+            if o != n:
+                return [i, i + diff - 1], [i - 1, i]
+    elif editType == "insertion":
+        assert len(new_list) > len(orig_list), (orig, new)
+        diff = len(new_list) - len(orig_list)
+        for i, (o, n) in enumerate(zip(orig_list, new_list)):
+            if o != n:
+                return [i - 1, i], [i, i + diff - 1]
+    elif editType == "substitution":
+        start = next((i for i, (o, n) in enumerate(zip(orig_list, new_list))
+                      if o != n), None)
+        assert start is not None, (orig, new)
+        for j, (o, n) in enumerate(zip(orig_list[::-1], new_list[::-1])):
+            if o != n:
+                return ([start, len(orig_list) - j - 1],
+                        [start, len(new_list) - j - 1])
+    else:
+        raise RuntimeError(f"editType unknown: {editType}")
+    raise RuntimeError(
+        f"wrong editing with the specified edit type:\n original: {orig}\n "
+        f"new: {new}\n, editType: {editType}")
+
+
+def get_mask_interval(alignment_rows: List[dict], word_span_ind: Tuple[int, int],
+                      editType: str) -> Tuple[float, float]:
+    """MFA word-alignment rows -> (start_sec, end_sec) for the edit.
+
+    alignment_rows: dicts with keys Begin, End, Label, Type (word rows only),
+    as produced by MFA CSV (reference inference_speech_editing_scale.py:107-127).
+    Insertion uses the gap between the neighbouring words.
+    """
+    words = [r for r in alignment_rows if r.get("Type", "words") == "words"]
+    s, e = word_span_ind
+    if editType == "insertion":
+        # between word s-1's end and word s's begin
+        start = float(words[s - 1]["End"]) if s > 0 else 0.0
+        end = float(words[s]["Begin"]) if s < len(words) else float(words[-1]["End"])
+    else:
+        start = float(words[s]["Begin"])
+        end = float(words[e]["End"])
+    return start, end

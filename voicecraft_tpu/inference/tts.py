@@ -1,0 +1,107 @@
+"""Zero-shot TTS inference driver (reference models/voicecraft.py:908-1153 +
+inference_tts_scale.py:42-105).
+
+The decode loop is a single jitted ``lax.while_loop`` program per geometry
+bucket; geometries are rounded up (x to 32, y prefix to 64, generation cap to
+128) so repeated calls hit the compile cache.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..data import spans
+from ..models.voicecraft import SamplingConfig, make_decode_loop
+from ..ops import patterns
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@lru_cache(maxsize=32)
+def _get_loop(cfg: ModelConfig, is_tts: bool, x_pad: int, y_pad: int,
+              gen_max: int, scfg: SamplingConfig, max_spans: int):
+    return make_decode_loop(cfg, is_tts=is_tts, x_pad=x_pad, y_pad=y_pad,
+                            gen_max=gen_max, scfg=scfg, max_spans=max_spans)
+
+
+def run_decode(params, cfg: ModelConfig, *, is_tts: bool,
+               x_tokens: np.ndarray, prefix: spans.ComposedSequence,
+               queue_mask_ids, n_spans: int, scfg: SamplingConfig,
+               seed: int = 1, gen_max: Optional[int] = None,
+               return_raw: bool = False):
+    """Shared decode entry.  Returns a list of generated spans [K, T_j]
+    (unshifted), or with ``return_raw`` the per-step delayed-space samples
+    (gen_buf [n, K], span_buf [n])."""
+    K = cfg.n_codebooks
+    x_len = len(x_tokens)
+    cap_mult = (cfg.encodec_sr // 5) if is_tts else 10
+    if gen_max is None:
+        # enough iterations to reach the forced-eog length cap + cascade +
+        # 3 feed steps per span transition
+        gen_max = max(x_len * cap_mult - prefix.length + K + 8, 2 * K + 8)
+        gen_max += 3 * max(n_spans - 1, 0)
+    gen_max = _round_up(gen_max, 128)
+
+    x_pad = _round_up(x_len, 32)
+    y_pad = _round_up(prefix.length, 64)
+
+    xt = np.full((1, x_pad), cfg.text_pad_token, np.int32)
+    xt[0, :x_len] = x_tokens
+    yt = np.full((1, K, y_pad), cfg.empty_token, np.int32)
+    yt[0, :, :prefix.length] = prefix.tokens
+    mi = np.full((1, y_pad), -1, np.int32)
+    mi[0, :prefix.length] = prefix.mask_emb_idx
+    qm = np.zeros((cfg.max_n_spans,), np.int32)
+    for j, v in enumerate(queue_mask_ids[:cfg.max_n_spans]):
+        qm[j] = v
+
+    loop = _get_loop(cfg, is_tts, x_pad, y_pad, gen_max, scfg, cfg.max_n_spans)
+    gen_buf, span_buf, gen_cnt, n_done = loop(
+        params, jnp.asarray(xt), jnp.asarray(x_len, jnp.int32),
+        jnp.asarray(yt), jnp.asarray(prefix.length, jnp.int32),
+        jnp.asarray(mi), jnp.asarray(qm), jnp.asarray(n_spans, jnp.int32),
+        jax.random.PRNGKey(seed))
+
+    gen_buf = np.asarray(gen_buf)[:int(gen_cnt)]          # [n, K]
+    span_buf = np.asarray(span_buf)[:int(gen_cnt)]
+    if return_raw:
+        return gen_buf, span_buf
+    out_spans = []
+    for j in range(n_spans):
+        rows = gen_buf[span_buf == j]                      # [n_j, K]
+        if rows.shape[0] <= K:
+            out_spans.append(np.zeros((K, 0), np.int32))
+            continue
+        out_spans.append(patterns.unshift_span(rows.T).astype(np.int32))
+    return out_spans
+
+
+def inference_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
+                  y_codes: np.ndarray, scfg: SamplingConfig = SamplingConfig(),
+                  seed: int = 1, gen_max: Optional[int] = None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-shot TTS: continue the voice prompt ``y_codes`` [K, T] for the
+    phoneme sequence ``x_tokens`` [Lx].
+
+    Returns (full_codes [K, T+Tg], generated [K, Tg]) — matching the
+    reference's (res, flatten_gen) (voicecraft.py:1143-1153).
+    """
+    if cfg.special_first:
+        y_codes = y_codes + cfg.n_special
+    prefix = spans.compose_tts_prefix(y_codes, cfg)
+    gen = run_decode(params, cfg, is_tts=True, x_tokens=x_tokens,
+                     prefix=prefix, queue_mask_ids=[], n_spans=1,
+                     scfg=scfg, seed=seed, gen_max=gen_max)[0]
+    full = np.concatenate([y_codes, gen], axis=1)
+    if cfg.special_first:
+        full = full - cfg.n_special
+        gen = gen - cfg.n_special
+    return full, gen

@@ -1,0 +1,217 @@
+"""Pre-norm transformer decoder stack (functional JAX, stacked-layer scan).
+
+Mirrors the reference's TransformerEncoderLayer/TransformerEncoder used with
+causal masks (reference models/modules/transformer.py:179-488, instantiated at
+models/voicecraft.py:166-179): pre-norm, plain LayerNorm (eps 1e-5), MHA with
+packed-equivalent q/k/v projections, ReLU FFN of width 4*d_model, final
+LayerNorm.
+
+TPU-first design choices:
+  - Per-layer params are STACKED along a leading L axis and the stack is
+    applied with ``lax.scan`` — one compiled layer body regardless of depth.
+  - KV cache is a preallocated slab [L, 2, B, S_max, H, Dh] written with
+    ``dynamic_update_slice`` — replaces the reference's unbounded
+    ``past = cat(past, present)`` realloc every decode step
+    (models/voicecraft.py:1081).
+  - Activations run in the config compute dtype (bf16); layernorm + softmax
+    accumulate in f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import mha, decode_attention
+
+
+# ---- init --------------------------------------------------------------------
+
+def _linear_init(key, fan_in, fan_out, dtype):
+    """Kaiming-uniform as in torch.nn.Linear defaults (matches the reference's
+    untouched Linear inits)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound)
+    b = jax.random.uniform(kb, (fan_out,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def init_layer(key, d_model: int, ffn_dim: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    # attention in-proj uses torch MultiheadAttention's xavier_uniform_ on the
+    # packed [3D, D] matrix (reference activation.py uses _in_proj_packed);
+    # we keep separate q/k/v with the same distribution.
+    limit = jnp.sqrt(6.0 / (d_model + 3 * d_model))
+    qkv = jax.random.uniform(ks[0], (d_model, 3 * d_model), dtype, -limit, limit)
+    return {
+        "ln1": {"g": jnp.ones((d_model,), dtype), "b": jnp.zeros((d_model,), dtype)},
+        "attn": {
+            "wq": qkv[:, :d_model],
+            "wk": qkv[:, d_model:2 * d_model],
+            "wv": qkv[:, 2 * d_model:],
+            "bq": jnp.zeros((d_model,), dtype),
+            "bk": jnp.zeros((d_model,), dtype),
+            "bv": jnp.zeros((d_model,), dtype),
+            "out": _linear_init(ks[1], d_model, d_model, dtype),
+        },
+        "ln2": {"g": jnp.ones((d_model,), dtype), "b": jnp.zeros((d_model,), dtype)},
+        "ffn": {
+            "lin1": _linear_init(ks[2], d_model, ffn_dim, dtype),
+            "lin2": _linear_init(ks[3], ffn_dim, d_model, dtype),
+        },
+    }
+
+
+def init_stack(key, num_layers: int, d_model: int, ffn_dim: int,
+               dtype=jnp.float32):
+    keys = jax.random.split(key, num_layers + 1)
+    layers = [init_layer(k, d_model, ffn_dim, dtype) for k in keys[:-1]]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+    final_ln = {"g": jnp.ones((d_model,), dtype), "b": jnp.zeros((d_model,), dtype)}
+    return {"layers": stacked, "final_ln": final_ln}
+
+
+# ---- primitives ---------------------------------------------------------------
+
+def layer_norm(p, x, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _proj(x, w, b):
+    return jnp.dot(x, w.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype) + b.astype(x.dtype)
+
+
+def _dropout(x, rate, rng):
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+# ---- full-sequence forward (training / prefill) --------------------------------
+
+def apply_layer(p, x, bias, nhead: int, dropout: float = 0.0, rng=None):
+    """One pre-norm layer: x + SA(LN(x)) then + FFN(LN(x)).
+    (reference transformer.py:266-388, norm_first path)."""
+    rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
+    h = layer_norm(p["ln1"], x)
+    q = _proj(h, p["attn"]["wq"], p["attn"]["bq"])
+    k = _proj(h, p["attn"]["wk"], p["attn"]["bk"])
+    v = _proj(h, p["attn"]["wv"], p["attn"]["bv"])
+    a = mha(q, k, v, bias, nhead, dropout_rate=dropout, rng=rngs[0])
+    a = _proj(a, p["attn"]["out"]["w"], p["attn"]["out"]["b"])
+    x = x + _dropout(a, dropout, rngs[1])
+
+    h = layer_norm(p["ln2"], x)
+    h = _proj(h, p["ffn"]["lin1"]["w"], p["ffn"]["lin1"]["b"])
+    h = jax.nn.relu(h)                      # reference transformer.py:188 (F.relu)
+    h = _dropout(h, dropout, rngs[2])
+    h = _proj(h, p["ffn"]["lin2"]["w"], p["ffn"]["lin2"]["b"])
+    x = x + _dropout(h, dropout, rngs[3])
+    return x
+
+
+def apply_stack(params, x, bias, nhead: int, dropout: float = 0.0, rng=None,
+                remat: bool = False):
+    """Run the full stack over [B, S, D] with additive bias [*, 1, S, S]."""
+    n_layers = jax.tree.leaves(params["layers"])[0].shape[0]
+    if rng is not None:
+        layer_rngs = jax.random.split(rng, n_layers)
+    else:
+        layer_rngs = jnp.zeros((n_layers, 2), dtype=jnp.uint32)
+
+    def body(carry, scanned):
+        layer_p, lrng = scanned
+        r = lrng if rng is not None else None
+        return apply_layer(layer_p, carry, bias, nhead, dropout, r), None
+
+    body_fn = jax.checkpoint(body) if remat else body
+    x, _ = jax.lax.scan(body_fn, x, (params["layers"], layer_rngs))
+    return layer_norm(params["final_ln"], x)
+
+
+# ---- prefill / decode with KV slab ---------------------------------------------
+
+def init_kv_cache(num_layers: int, batch: int, s_max: int, nhead: int,
+                  head_dim: int, dtype=jnp.bfloat16):
+    """Slab cache [L, 2, B, S_max, H, Dh] (k at index 0, v at index 1)."""
+    return jnp.zeros((num_layers, 2, batch, s_max, nhead, head_dim), dtype)
+
+
+def prefill(params, x, bias, cache, nhead: int):
+    """Full-sequence forward that also fills cache[:, :, :, :S].
+
+    x: [B, S, D]; returns (hidden [B, S, D], cache)."""
+    B, S, D = x.shape
+    H = nhead
+    Dh = D // H
+
+    def body(carry, layer_p):
+        h_in = carry
+        h = layer_norm(layer_p["ln1"], h_in)
+        q = _proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
+        k = _proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
+        v = _proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        a = mha(q, k, v, bias, nhead)
+        a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
+        x1 = h_in + a
+        h2 = layer_norm(layer_p["ln2"], x1)
+        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
+        h2 = jax.nn.relu(h2)
+        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        out = x1 + h2
+        kv = jnp.stack([k.reshape(B, S, H, Dh), v.reshape(B, S, H, Dh)], axis=0)
+        return out, kv
+
+    x, kvs = jax.lax.scan(body, x, params["layers"])
+    # kvs: [L, 2, B, S, H, Dh] -> write into slab at [.., :S, ..]
+    cache = jax.lax.dynamic_update_slice(
+        cache, kvs.astype(cache.dtype), (0, 0, 0, 0, 0, 0))
+    return layer_norm(params["final_ln"], x), cache
+
+
+def decode_step(params, x_t, cache, pos, nhead: int,
+                x_len=None, x_pad: int | None = None):
+    """One autoregressive step.
+
+    x_t: [B, 1, D] new-token embedding (token+positional already applied).
+    pos: scalar int32 — index where this token's k/v are written; attention
+    sees cache[0 .. pos] inclusive, minus text pad slots [x_len, x_pad).
+    Returns (hidden [B, 1, D], new cache).
+    """
+    L, _, B, S_max, H, Dh = cache.shape
+
+    def body(carry, scanned):
+        h_in = carry
+        layer_p, layer_cache = scanned
+        h = layer_norm(layer_p["ln1"], h_in)
+        q = _proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
+        k = _proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
+        v = _proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        k_slab = jax.lax.dynamic_update_slice(
+            layer_cache[0], k.reshape(B, 1, H, Dh).astype(layer_cache.dtype),
+            (0, pos, 0, 0))
+        v_slab = jax.lax.dynamic_update_slice(
+            layer_cache[1], v.reshape(B, 1, H, Dh).astype(layer_cache.dtype),
+            (0, pos, 0, 0))
+        a = decode_attention(q, k_slab.astype(q.dtype), v_slab.astype(q.dtype),
+                             pos + 1, nhead, x_len=x_len, x_pad=x_pad)
+        a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
+        x1 = h_in + a
+        h2 = layer_norm(layer_p["ln2"], x1)
+        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
+        h2 = jax.nn.relu(h2)
+        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        out = x1 + h2
+        return out, jnp.stack([k_slab, v_slab], axis=0)
+
+    x, new_cache = jax.lax.scan(body, x_t, (params["layers"], cache))
+    return layer_norm(params["final_ln"], x), new_cache
