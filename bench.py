@@ -1,0 +1,113 @@
+"""Benchmark: giga830M zero-shot TTS decode throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "tts_rtf_830m", "value": <x realtime>, "unit": "x_realtime",
+   "vs_baseline": <ratio>}
+
+Metric: generated-audio seconds per wall-clock second per chip (RTF) for the
+830M decoder in bf16 with the KV-slab decode loop (prompt prefill excluded
+from the steady-state rate; reported separately on stderr).
+
+Baseline: the reference repo publishes no numbers; its Colab notes report
+6-15 s per generation on a T4 with ~8 s prompts + ~10 s outputs
+(voicecraft-gradio-colab.ipynb cell 6), i.e. roughly ~1x realtime.  We take
+1.0x realtime as the reference baseline, so vs_baseline == value.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="giga830M")
+    ap.add_argument("--frames", type=int, default=500,
+                    help="codec frames to generate (50 = 1 s of audio)")
+    ap.add_argument("--prompt-frames", type=int, default=150)
+    ap.add_argument("--phones", type=int, default=120)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    from voicecraft_tpu.config import PRESETS
+    from voicecraft_tpu.data import spans
+    from voicecraft_tpu.models.voicecraft import (
+        init_params, make_decode_loop, SamplingConfig)
+
+    cfg = PRESETS[args.preset]()
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    params = init_params(cfg, key)
+    params = jax.tree.map(
+        lambda x: x.astype("bfloat16") if x.dtype == np.float32 else x, params)
+
+    rng = np.random.default_rng(0)
+    K = cfg.n_codebooks
+    x_tokens = rng.integers(0, cfg.text_vocab_size, args.phones).astype(np.int32)
+    prompt = rng.integers(0, cfg.audio_vocab_size,
+                          (K, args.prompt_frames)).astype(np.int32)
+    prefix = spans.compose_tts_prefix(prompt, cfg)
+
+    def ceil(v, m):
+        return (v + m - 1) // m * m
+
+    x_pad = ceil(len(x_tokens), 32)
+    y_pad = ceil(prefix.length, 64)
+    gen_max = args.frames
+    scfg = SamplingConfig(top_k=40, top_p=1.0, temperature=1.0,
+                          stop_repetition=3)
+
+    loop = make_decode_loop(cfg, is_tts=True, x_pad=x_pad, y_pad=y_pad,
+                            gen_max=gen_max, scfg=scfg, bench_mode=True)
+
+    import jax.numpy as jnp
+    xt = np.full((1, x_pad), cfg.text_pad_token, np.int32)
+    xt[0, :len(x_tokens)] = x_tokens
+    yt = np.full((1, K, y_pad), cfg.empty_token, np.int32)
+    yt[0, :, :prefix.length] = prefix.tokens
+    mi = np.full((1, y_pad), -1, np.int32)
+    qm = np.zeros((cfg.max_n_spans,), np.int32)
+
+    def run(seed):
+        out = loop(params, jnp.asarray(xt), jnp.asarray(len(x_tokens), jnp.int32),
+                   jnp.asarray(yt), jnp.asarray(prefix.length, jnp.int32),
+                   jnp.asarray(mi), jnp.asarray(qm),
+                   jnp.asarray(1, jnp.int32), jax.random.PRNGKey(seed))
+        jax.block_until_ready(out)
+        return out
+
+    t0 = time.perf_counter()
+    out = run(0)
+    compile_time = time.perf_counter() - t0
+    n_gen = int(out[2])
+    assert n_gen == gen_max, (n_gen, gen_max)
+    print(f"compile+first run: {compile_time:.1f}s, generated {n_gen} frames",
+          file=sys.stderr)
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    audio_sec = args.frames / cfg.encodec_sr
+    rtf = audio_sec / best
+    steps_per_sec = args.frames / best
+    print(f"decode: {best:.3f}s for {args.frames} frames "
+          f"({steps_per_sec:.0f} steps/s incl. prefill)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "tts_rtf_830m",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 1.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -342,7 +342,8 @@ def _adjust_and_sample(cfg: ModelConfig, scfg: SamplingConfig, is_tts: bool,
 
 def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
                      y_pad: int, gen_max: int, scfg: SamplingConfig,
-                     max_spans: Optional[int] = None):
+                     max_spans: Optional[int] = None,
+                     bench_mode: bool = False):
     """Build the jitted single-sample decode function.
 
     Static geometry: x padded to ``x_pad``, composed y prefix padded to
@@ -427,6 +428,11 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
                 cfg, scfg, is_tts, cap_mult, step_rng, s.logits[0],
                 s.codebook_eog, s.cur_num_gen, s.consec_silence,
                 s.prev_token, s.y_pos, x_len)
+            if bench_mode:
+                # benchmarking: never terminate early, run to gen_max
+                new_eog = jnp.zeros_like(new_eog)
+                samples = jnp.where(samples >= cfg.audio_vocab_size,
+                                    0, samples)
 
             span_complete = jnp.all(new_eog) & jnp.logical_not(feeding)
             record = jnp.logical_not(feeding)

@@ -1,0 +1,94 @@
+"""Device mesh + sharding rules (GSPMD tensor/data parallel).
+
+The reference's only parallelism is NCCL DDP (main.py:40, steps/trainer.py:46).
+Here parallelism is declarative: a 2-D ``Mesh(('data', 'model'))``, batch dims
+sharded over ``data``, and megatron-style tensor-parallel layouts over
+``model`` (attention heads + FFN hidden sharded column-wise, output
+projections row-wise — XLA inserts the all-reduces over ICI).  DP gradient
+sync is implicit in jit's partitioning of the batch dimension.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_model, (len(devices), n_data, n_model)
+    arr = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+# ---- parameter partition specs -------------------------------------------------
+
+def param_pspecs(params) -> dict:
+    """PartitionSpec pytree matching a voicecraft params pytree.
+
+    Layers carry a leading L (scan) axis; per-codebook tensors a leading K.
+    """
+    def spec(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        ks = "/".join(str(k) for k in keys)
+        nd = leaf.ndim
+        if "alpha" in ks or "ln" in ks or "final_ln" in ks:
+            return P()
+        if ks.endswith("text_emb/weight"):
+            return P(None, "model")
+        if ks == "audio_emb":
+            return P(None, None, "model")
+        if ks == "mask_emb":
+            return P(None, "model")
+        if "attn/wq" in ks or "attn/wk" in ks or "attn/wv" in ks:
+            return P(None, None, "model")          # [L, D, D] col-parallel
+        if "attn/bq" in ks or "attn/bk" in ks or "attn/bv" in ks:
+            return P(None, "model")
+        if "attn/out/w" in ks:
+            return P(None, "model", None)          # row-parallel
+        if "attn/out/b" in ks:
+            return P()
+        if "ffn/lin1/w" in ks:
+            return P(None, None, "model")
+        if "ffn/lin1/b" in ks:
+            return P(None, "model")
+        if "ffn/lin2/w" in ks:
+            return P(None, "model", None)
+        if "ffn/lin2/b" in ks:
+            return P()
+        if ks == "heads/w1":
+            return P(None, None, "model")          # [K, D, half]
+        if ks == "heads/b1":
+            return P(None, "model")
+        if ks == "heads/w2":
+            return P(None, "model", None)          # [K, half, card]
+        if ks == "heads/b2":
+            return P()
+        return P()  # replicate anything unrecognised
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def param_shardings(params, mesh: Mesh):
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), param_pspecs(params),
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def batch_pspec(leaf_ndim: int) -> P:
+    """Shard the leading batch dimension over 'data'."""
+    return P(*(("data",) + (None,) * (leaf_ndim - 1)))
+
+
+def shard_params(params, mesh: Mesh):
+    """Place (already materialised) params onto the mesh."""
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def shard_batch(batch, mesh: Mesh):
+    def put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, batch_pspec(x.ndim)))
+    return jax.tree.map(put, batch)
