@@ -1,0 +1,107 @@
+"""End-to-end training runtime tests on a synthetic on-disk dataset:
+loss goes down, checkpoints round-trip, mid-run resume continues exactly."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from voicecraft_tpu.config import tiny_test, TrainConfig
+from voicecraft_tpu.data.manifest import (
+    ManifestDataset, DynamicBatcher, collate_train, write_manifest_tree)
+
+
+def _make_dataset(root, n_items=24, seed=0):
+    cfg = tiny_test()
+    rng = np.random.default_rng(seed)
+    phones = [f"ph{i}" for i in range(cfg.text_vocab_size)]
+    items = []
+    for i in range(n_items):
+        T = int(rng.integers(110, 320))
+        L = int(rng.integers(12, 30))
+        items.append({
+            "id": f"utt{i:03d}",
+            "phones": [phones[int(rng.integers(0, len(phones)))]
+                       for _ in range(L)],
+            "codes": rng.integers(0, cfg.audio_vocab_size,
+                                  (cfg.n_codebooks, T)).tolist(),
+        })
+    write_manifest_tree(root, items, cfg, "train")
+    write_manifest_tree(root, items[:6], cfg, "validation")
+    return cfg
+
+
+def _tcfg(root, tmp, **kw):
+    return TrainConfig(
+        dataset_dir=root, exp_dir=str(tmp / "exp"),
+        max_num_tokens=1200, num_buckets=3, num_steps=14,
+        audio_min_length=2.0, audio_max_length=8.0, text_min_length=2,
+        val_every_n_steps=7, print_every_n_steps=5,
+        tb_write_every_n_steps=1000, lr=0.02, seed=1, **kw)
+
+
+def test_dataset_and_batcher(tmp_path):
+    root = str(tmp_path / "data")
+    cfg = _make_dataset(root)
+    tcfg = _tcfg(root, tmp_path)
+    ds = ManifestDataset(cfg, tcfg, "train")
+    assert len(ds) == 24
+    rng = np.random.default_rng(0)
+    x, y = ds.load_item(0, rng)
+    assert x.ndim == 1 and y.shape[0] == cfg.n_codebooks
+
+    b = DynamicBatcher(ds.lengths, 1200, num_buckets=3, seed=1)
+    batches = b.epoch_batches(0)
+    covered = sorted(i for bt in batches for i in bt)
+    assert covered == list(range(24))            # exact cover, no dup/loss
+    # determinism + epoch reshuffle
+    assert b.epoch_batches(0) == batches
+    assert b.epoch_batches(1) != batches
+    # host striding partitions the batch list
+    b2 = DynamicBatcher(ds.lengths, 1200, num_buckets=3, seed=1,
+                        num_hosts=2, host=0)
+    b3 = DynamicBatcher(ds.lengths, 1200, num_buckets=3, seed=1,
+                        num_hosts=2, host=1)
+    all_b = b2.epoch_batches(0) + b3.epoch_batches(0)
+    assert sorted(i for bt in all_b for i in bt) == list(range(24))
+
+    batch = collate_train(ds, batches[0], np.random.default_rng(0))
+    assert batch.y_tokens.shape[2] % 64 == 0
+
+
+def test_train_loop_and_resume(tmp_path):
+    from voicecraft_tpu.training.trainer import Trainer
+    root = str(tmp_path / "data")
+    mcfg = dataclasses.replace(_make_dataset(root), compute_dtype="float32",
+                               mask_len_max=40)
+    tcfg = _tcfg(root, tmp_path)
+
+    tr = Trainer(mcfg, tcfg)
+    first_losses = []
+
+    # capture per-step loss by running the loop manually through train()
+    tr.train()
+    assert tr.progress["step"] > tcfg.num_steps
+    hist = tr.progress["history"]
+    assert len(hist) >= 2
+    # validation score should improve over a short run
+    finite = [h[1] for h in hist if np.isfinite(h[1])]
+    assert finite and finite[-1] < finite[0] * 1.05
+
+    # checkpoint exists and meta is readable
+    assert os.path.isdir(os.path.join(tcfg.exp_dir, "ckpt_latest"))
+    meta = json.load(open(os.path.join(tcfg.exp_dir, "meta_latest.json")))
+    assert meta["progress"]["step"] == tr.progress["step"]
+
+    # ---- resume: new Trainer picks up state exactly ----
+    tr2 = Trainer(mcfg, tcfg)
+    assert tr2.progress["step"] == tr.progress["step"]
+    p1 = np.asarray(tr.params["mask_emb"])
+    p2 = np.asarray(tr2.params["mask_emb"])
+    np.testing.assert_array_equal(p1, p2)
+    # optimizer state restored too
+    s1 = np.asarray(tr.opt_state.step)
+    s2 = np.asarray(tr2.opt_state.step)
+    assert s1 == s2 and s1 > 0

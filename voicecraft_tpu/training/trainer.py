@@ -1,0 +1,257 @@
+"""Training runtime: loop, metrics, checkpoint/resume, validation, early stop.
+
+Reimplements the reference Trainer (steps/trainer.py:21-467) on the JAX stack:
+  * DDP + GradScaler + explicit all-reduces -> one jitted sharded step
+    (training/step.py) over a device mesh; metrics come back as globals.
+  * checkpoint bundles (bundle.pth/best_bundle.pth + args.pkl + progress.pkl,
+    trainer.py:215-240) -> an orbax directory per tag holding the train-state
+    pytree, plus json sidecars for configs and progress.
+  * mid-epoch sampler fast-forward (trainer.py:343-344) -> the deterministic
+    batcher regenerates the epoch's batch list and skips `batch_in_epoch`.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import asdict
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, TrainConfig
+from ..models.voicecraft import init_params, param_count
+from ..data.manifest import ManifestDataset, DynamicBatcher, collate_train
+from .optim import scaled_adam, adamw_reference, eden_schedule, linear_warmup_decay
+from .step import make_train_step
+
+log = logging.getLogger("voicecraft_tpu.trainer")
+
+
+class Trainer:
+    def __init__(self, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None,
+                 tb_writer=None):
+        self.mcfg, self.tcfg = mcfg, tcfg
+        self.mesh = mesh
+        self.start_time = time.time()
+        os.makedirs(tcfg.exp_dir, exist_ok=True)
+
+        self.train_ds = ManifestDataset(mcfg, tcfg, "train")
+        try:
+            self.valid_ds = ManifestDataset(mcfg, tcfg, "validation")
+        except FileNotFoundError:
+            self.valid_ds = None
+
+        n_hosts = jax.process_count()
+        host = jax.process_index()
+        self.batcher = DynamicBatcher(
+            self.train_ds.lengths, tcfg.max_num_tokens,
+            num_buckets=tcfg.num_buckets, seed=tcfg.seed,
+            num_hosts=n_hosts, host=host)
+        if self.valid_ds is not None:
+            self.valid_batcher = DynamicBatcher(
+                self.valid_ds.lengths,
+                tcfg.val_max_num_tokens or tcfg.max_num_tokens,
+                num_buckets=tcfg.num_buckets, seed=tcfg.seed,
+                num_hosts=n_hosts, host=host)
+
+        self.total_step = tcfg.num_steps or 50000
+        if tcfg.optimizer_name == "ScaledAdam":
+            lr = eden_schedule(tcfg.lr, tcfg.reduce_lr_start_step,
+                               tcfg.reduce_lr_start_epoch,
+                               self.total_step * tcfg.warmup_fraction,
+                               tcfg.pseudo_epoch_size)
+            self.tx = scaled_adam(
+                lr=lr, betas=(0.9, 0.95), clipping_scale=2.0,
+                clipping_update_period=tcfg.clipping_update_period)
+        else:
+            lr = linear_warmup_decay(tcfg.lr, self.total_step,
+                                     self.total_step * tcfg.warmup_fraction)
+            self.tx = adamw_reference(lr, tcfg.weight_decay)
+        self.lr_fn = lr
+
+        self.params = init_params(mcfg, jax.random.PRNGKey(tcfg.seed))
+        if mesh is not None:
+            from ..parallel.mesh import shard_params
+            self.params = shard_params(self.params, mesh)
+        self.opt_state = jax.jit(self.tx.init)(self.params)
+        self.step_fn = make_train_step(mcfg, self.tx)
+        self.rng = jax.random.PRNGKey(tcfg.seed)
+
+        self.progress = {"step": 1, "epoch": 0, "batch_in_epoch": 0,
+                         "best_step": 1, "best_score": float("inf"),
+                         "history": []}
+        self.tb = tb_writer
+        self.early_stop_accu = 0
+        self._maybe_resume()
+        log.info("model params: %d", param_count(self.params))
+
+    # ---- checkpointing ---------------------------------------------------------
+
+    def _ckpt_dir(self, tag: str) -> str:
+        return os.path.join(os.path.abspath(self.tcfg.exp_dir), "ckpt_" + tag)
+
+    def save(self, tag: str = "latest"):
+        import orbax.checkpoint as ocp
+        path = self._ckpt_dir(tag)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path + ".tmp_ocp",
+                       {"params": self.params, "opt_state": self.opt_state,
+                        "rng": self.rng},
+                       force=True)
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        os.rename(path + ".tmp_ocp", path)
+        meta = {"progress": self.progress,
+                "model_config": asdict(self.mcfg),
+                "train_config": asdict(self.tcfg)}
+        with open(os.path.join(self.tcfg.exp_dir, f"meta_{tag}.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+    def _maybe_resume(self):
+        path = self._ckpt_dir("latest")
+        meta_fn = os.path.join(self.tcfg.exp_dir, "meta_latest.json")
+        if not (os.path.isdir(path) and os.path.exists(meta_fn)):
+            return
+        import orbax.checkpoint as ocp
+        with open(meta_fn) as f:
+            meta = json.load(f)
+        with ocp.StandardCheckpointer() as ckptr:
+            target = {"params": self.params, "opt_state": self.opt_state,
+                      "rng": self.rng}
+            restored = ckptr.restore(path, target)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.rng = restored["rng"]
+        self.progress.update(meta["progress"])
+        log.info("resumed from %s at step %d (epoch %d, batch %d)",
+                 path, self.progress["step"], self.progress["epoch"],
+                 self.progress["batch_in_epoch"])
+
+    # ---- loops -----------------------------------------------------------------
+
+    def _host_rng(self, epoch: int, batch_idx: int) -> np.random.Generator:
+        return np.random.default_rng(
+            (self.tcfg.seed, epoch, batch_idx, jax.process_index()))
+
+    def train(self, max_steps: Optional[int] = None):
+        t = self.tcfg
+        total = min(self.total_step, max_steps or self.total_step)
+        flag = True
+        data_t0 = time.time()
+        while flag:
+            epoch = self.progress["epoch"]
+            batches = self.batcher.epoch_batches(epoch)
+            start_b = self.progress["batch_in_epoch"]
+            for bi in range(start_b, len(batches)):
+                step = self.progress["step"]
+                if step > total:
+                    flag = False
+                    break
+                rng_host = self._host_rng(epoch, bi)
+                batch = collate_train(self.train_ds, batches[bi], rng_host)
+                data_time = time.time() - data_t0
+                if batch is None:
+                    self.progress["batch_in_epoch"] = bi + 1
+                    continue
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+                    batch = shard_batch(batch, self.mesh)
+                self.rng, step_rng = jax.random.split(self.rng)
+                t0 = time.time()
+                self.params, self.opt_state, metrics = self.step_fn(
+                    self.params, self.opt_state, batch, step_rng)
+                metrics = jax.tree.map(np.asarray, metrics)
+                train_time = time.time() - t0
+
+                if metrics["is_nan"] > 0:
+                    log.info("step %d: non-finite loss, batch skipped", step)
+                ntok = max(float(metrics["effective_ntoken"]), 1.0)
+                avg_loss = float(metrics["loss"]) / ntok
+                if not np.isfinite(avg_loss) and metrics["is_nan"] == 0:
+                    raise RuntimeError("training diverged (loss is NaN)")
+
+                if step % t.tb_write_every_n_steps == 0 and self.tb:
+                    self.tb.add_scalar("train/loss", avg_loss, step)
+                    self.tb.add_scalar("train/lr", float(self.lr_fn(step)), step)
+                    self.tb.add_scalar("train/top10acc",
+                                       float(metrics["top10acc"]) / ntok, step)
+                if step % t.print_every_n_steps == 0:
+                    log.info("step %d/%d epoch %d loss %.4f acc %.4f "
+                             "lr %.2e data %.2fs step %.2fs",
+                             step, total, epoch, avg_loss,
+                             float(metrics["top10acc"]) / ntok,
+                             float(self.lr_fn(step)), data_time, train_time)
+
+                self.progress["step"] = step + 1
+                self.progress["batch_in_epoch"] = bi + 1
+
+                if step % t.val_every_n_steps == 0:
+                    self.validate_and_save()
+                    if self._should_early_stop():
+                        log.info("early stop at step %d", step)
+                        flag = False
+                        break
+                data_t0 = time.time()
+            else:
+                self.progress["epoch"] = epoch + 1
+                self.progress["batch_in_epoch"] = 0
+                continue
+            break
+        self.validate_and_save()
+
+    def validate(self) -> float:
+        if self.valid_ds is None:
+            return float("nan")
+        losses, ntoks = [], []
+        batches = self.valid_batcher.epoch_batches(0)
+        from ..models.voicecraft import forward_train
+        eval_fn = jax.jit(lambda p, b: forward_train(p, self.mcfg, b,
+                                                     rng=None, remat=False))
+        for bi, idxs in enumerate(batches[:50]):
+            rng_host = self._host_rng(10 ** 6, bi)
+            batch = collate_train(self.valid_ds, idxs, rng_host)
+            if batch is None:
+                continue
+            out = eval_fn(self.params, batch)
+            losses.append(float(out["loss"]))
+            ntoks.append(float(out["effective_ntoken"]))
+        if not ntoks:
+            return float("nan")
+        return sum(losses) / max(sum(ntoks), 1.0)
+
+    def validate_and_save(self):
+        score = self.validate()
+        step = self.progress["step"]
+        self.progress["history"].append(
+            [step, score, time.time() - self.start_time])
+        if jax.process_index() == 0:
+            self.save("latest")
+            if np.isfinite(score) and score < self.progress["best_score"]:
+                self.progress["best_score"] = score
+                self.progress["best_step"] = step
+                self.save("best")
+            log.info("validate: step %d score %.5f (best %.5f @ %d)",
+                     step, score, self.progress["best_score"],
+                     self.progress["best_step"])
+
+    def _should_early_stop(self) -> bool:
+        t = self.tcfg
+        if t.early_stop_threshold <= 0:
+            return False
+        hist = self.progress["history"]
+        if len(hist) < 2:
+            return False
+        prev_best = min(h[1] for h in hist[:-1] if np.isfinite(h[1])) \
+            if any(np.isfinite(h[1]) for h in hist[:-1]) else float("inf")
+        cur = hist[-1][1]
+        if np.isfinite(cur) and prev_best - cur < t.early_stop_threshold:
+            self.early_stop_accu += t.val_every_n_steps
+        else:
+            self.early_stop_accu = 0
+        return self.early_stop_accu >= t.early_stop_step
