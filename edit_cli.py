@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Speech-editing CLI (reference inference_speech_editing_scale.py).
+
+Regenerate the span of audio corresponding to a transcript edit:
+
+  python edit_cli.py --model ckpt.pth --codec encodec.th --wav orig.wav \\
+      --orig-transcript "..." --target-transcript "..." \\
+      --edit-type substitution --mfa-csv align.csv --out edited.wav
+
+The MFA CSV carries word alignments (Begin,End,Label,Type rows).  The edited
+word span is found by diffing transcripts (edit_utils.get_span), converted to
+seconds via the alignment, padded by --left/right-margin, then to codec
+frames (reference inference_speech_editing_scale.py:107-127, 193-207).
+"""
+
+import argparse
+import csv
+import logging
+
+import numpy as np
+
+
+def read_mfa_csv(path):
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    return [r for r in rows if r.get("Type", "words") == "words"]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--codec", default=None)
+    ap.add_argument("--wav", required=True)
+    ap.add_argument("--orig-transcript", required=True)
+    ap.add_argument("--target-transcript", required=True)
+    ap.add_argument("--edit-type", required=True,
+                    choices=["substitution", "insertion", "deletion"])
+    ap.add_argument("--mfa-csv", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--left-margin", type=float, default=0.08)
+    ap.add_argument("--right-margin", type=float, default=0.08)
+    # editing sampling defaults (reference inference_speech_editing_scale.py:24-37)
+    ap.add_argument("--top-k", type=int, default=-1)
+    ap.add_argument("--top-p", type=float, default=0.8)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--stop-repetition", type=int, default=-1)
+    ap.add_argument("--silence-tokens", type=int, nargs="*",
+                    default=[1388, 1898, 131])
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--language", default="en-us")
+    ap.add_argument("--text-backend", default="auto")
+    ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+    from voicecraft_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup(args.platform)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax.numpy as jnp
+    from voicecraft_tpu.inference.loader import load_model, load_codec
+    from voicecraft_tpu.inference.editing import (
+        inference_edit, get_span, get_mask_interval)
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    from voicecraft_tpu.models import encodec as ec
+    from voicecraft_tpu.data.phonemes import make_text_tokenizer, phones_to_ids
+    from voicecraft_tpu.utils import audio as au
+
+    cfg, params, phn2num = load_model(args.model, args.random_init, args.seed)
+    ccfg, cparams = load_codec(args.codec, args.random_init, args.seed)
+
+    tok = make_text_tokenizer(args.language, args.text_backend)
+    phones = tok.phonemize(args.target_transcript.strip())
+    if phn2num is None:
+        from voicecraft_tpu.data.phonemes import build_vocab
+        phn2num = build_vocab([phones])
+    x = np.asarray(phones_to_ids(phones, phn2num), np.int32)
+
+    wav = au.load_audio(args.wav, ccfg.sample_rate)
+    codes = ec.encode_bucketed(cparams, wav, ccfg)[0]
+    audio_dur = wav.shape[1] / ccfg.sample_rate
+
+    words = read_mfa_csv(args.mfa_csv)
+    orig_span, _ = get_span(args.orig_transcript.strip().lower(),
+                            args.target_transcript.strip().lower(),
+                            args.edit_type)
+    start_sec, end_sec = get_mask_interval(words, tuple(orig_span),
+                                           args.edit_type)
+    # margins + clamp (reference inference_speech_editing_scale.py:193-201)
+    start_sec = max(0.0, start_sec - args.left_margin)
+    end_sec = min(audio_dur, end_sec + args.right_margin)
+    sr = cfg.encodec_sr
+    interval = (int(start_sec * sr), int(end_sec * sr))
+    logging.info("edit span: words %s -> %.2f..%.2fs -> frames %s",
+                 orig_span, start_sec, end_sec, interval)
+
+    scfg = SamplingConfig(top_k=args.top_k if args.top_k > 0 else 0,
+                          top_p=args.top_p, temperature=args.temperature,
+                          stop_repetition=args.stop_repetition,
+                          silence_tokens=tuple(args.silence_tokens))
+    res = inference_edit(params, cfg, x, codes, [interval], scfg,
+                         seed=args.seed)
+    out = ec.decode_bucketed(cparams, res[None], ccfg)[0]
+    au.write_wav(args.out, out, ccfg.sample_rate)
+    logging.info("wrote %s (%.2fs)", args.out, out.shape[-1] / ccfg.sample_rate)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Zero-shot TTS CLI (reference tts_demo.py + inference_tts_scale.py).
+
+Continue a voice prompt with new text:
+
+  python tts_cli.py --model ckpt.pth --codec encodec.th \\
+      --prompt-wav demo.wav --prompt-transcript "..." \\
+      --target-transcript "..." --out out.wav
+
+Smoke mode (no checkpoints): --model giga330M --random-init
+"""
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True,
+                    help=".pth bundle, orbax ckpt dir, or preset name")
+    ap.add_argument("--codec", default=None, help="audiocraft .th checkpoint")
+    ap.add_argument("--prompt-wav", required=True)
+    ap.add_argument("--prompt-transcript", required=True)
+    ap.add_argument("--target-transcript", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--prompt-end-sec", type=float, default=-1.0,
+                    help="cut the prompt at this time (reference cut_off_sec)")
+    # sampling defaults per reference README.md:24 (post 03/2025)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--stop-repetition", type=int, default=3)
+    ap.add_argument("--sample-batch-size", type=int, default=1)
+    ap.add_argument("--silence-tokens", type=int, nargs="*",
+                    default=[1388, 1898, 131])
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--language", default="en-us")
+    ap.add_argument("--text-backend", default="auto",
+                    choices=["auto", "phonemizer", "espeak", "grapheme"])
+    ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+    from voicecraft_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup(args.platform)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax.numpy as jnp
+    from voicecraft_tpu.inference.loader import load_model, load_codec
+    from voicecraft_tpu.inference.tts import inference_tts, inference_tts_batch
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    from voicecraft_tpu.models import encodec as ec
+    from voicecraft_tpu.data.phonemes import make_text_tokenizer, phones_to_ids
+    from voicecraft_tpu.utils import audio as au
+
+    cfg, params, phn2num = load_model(args.model, args.random_init, args.seed)
+    ccfg, cparams = load_codec(args.codec, args.random_init, args.seed)
+
+    tok = make_text_tokenizer(args.language, args.text_backend)
+    # reference inference_tts_scale.py:45-51: phonemize combined transcript
+    text = args.prompt_transcript.strip() + " " + args.target_transcript.strip()
+    phones = tok.phonemize(text)
+    if phn2num is None:
+        from voicecraft_tpu.data.phonemes import build_vocab
+        phn2num = build_vocab([phones])
+    x = np.asarray(phones_to_ids(phones, phn2num), np.int32)
+    logging.info("phonemized to %d symbols", len(x))
+
+    wav = au.load_audio(args.prompt_wav, ccfg.sample_rate)
+    if args.prompt_end_sec > 0:
+        wav = wav[:, :int(args.prompt_end_sec * ccfg.sample_rate)]
+    t0 = time.time()
+    codes = ec.encode_bucketed(cparams, wav, ccfg)[0]
+    logging.info("prompt: %.2fs -> %d frames (%.2fs encode)",
+                 wav.shape[1] / ccfg.sample_rate, codes.shape[1],
+                 time.time() - t0)
+
+    scfg = SamplingConfig(top_k=args.top_k, top_p=args.top_p,
+                          temperature=args.temperature,
+                          stop_repetition=args.stop_repetition,
+                          silence_tokens=tuple(args.silence_tokens))
+    t0 = time.time()
+    if args.sample_batch_size > 1:
+        full, gen = inference_tts_batch(params, cfg, x, codes, scfg,
+                                        batch_size=args.sample_batch_size,
+                                        seed=args.seed)
+    else:
+        full, gen = inference_tts(params, cfg, x, codes, scfg, seed=args.seed)
+    gen_sec = gen.shape[1] / cfg.encodec_sr
+    dt = time.time() - t0
+    logging.info("generated %d frames (%.2fs audio) in %.2fs (%.2fx realtime)",
+                 gen.shape[1], gen_sec, dt, gen_sec / max(dt, 1e-9))
+
+    out = ec.decode_bucketed(cparams, full[None], ccfg)[0]
+    au.write_wav(args.out, out, ccfg.sample_rate)
+    concat_out = args.out.replace(".wav", "_gen_only.wav")
+    gen_wav = ec.decode_bucketed(cparams, gen[None], ccfg)[0] if gen.shape[1] else np.zeros(0, np.float32)
+    au.write_wav(concat_out, gen_wav, ccfg.sample_rate)
+    logging.info("wrote %s and %s", args.out, concat_out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Model/codec loading for the inference CLIs.
+
+Accepts three model sources (reference get_model, inference_tts_scale.py:107-125
++ HF-hub load, voicecraft.py:90-104):
+  * a reference ``*.pth`` bundle (converted on the fly),
+  * an orbax checkpoint directory produced by this repo's Trainer,
+  * a named preset with random init (smoke tests / development).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+
+from ..config import ModelConfig, PRESETS
+from ..models.voicecraft import init_params
+from ..models.encodec import EncodecConfig, init_encodec
+
+
+def load_model(path_or_preset: str, random_init: bool = False,
+               seed: int = 0) -> Tuple[ModelConfig, dict, Optional[Dict[str, int]]]:
+    if path_or_preset in PRESETS:
+        cfg = PRESETS[path_or_preset]()
+        assert random_init, "presets require --random-init (no weights)"
+        return cfg, init_params(cfg, jax.random.PRNGKey(seed)), None
+    if path_or_preset.endswith(".pth"):
+        from ..utils.convert import load_reference_bundle
+        return load_reference_bundle(path_or_preset)
+    # orbax checkpoint dir from training/trainer.py
+    meta_fn = os.path.join(os.path.dirname(path_or_preset.rstrip("/")),
+                           "meta_" + os.path.basename(
+                               path_or_preset.rstrip("/")).replace("ckpt_", "")
+                           + ".json")
+    with open(meta_fn) as f:
+        meta = json.load(f)
+    cfg = ModelConfig.from_dict(meta["model_config"])
+    import orbax.checkpoint as ocp
+    target = {"params": init_params(cfg, jax.random.PRNGKey(0)),
+              "opt_state": None, "rng": jax.random.PRNGKey(0)}
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path_or_preset),
+                                 {"params": target["params"]})
+    phn2num = None
+    vocab_fn = os.path.join(os.path.dirname(meta_fn), "vocab.txt")
+    if os.path.exists(vocab_fn):
+        from ..data.manifest import load_vocab
+        phn2num = {p: i for p, i in load_vocab(vocab_fn).items()}
+    return cfg, restored["params"], phn2num
+
+
+def load_codec(path: Optional[str], random_init: bool = False,
+               seed: int = 0) -> Tuple[EncodecConfig, dict]:
+    if path is None:
+        assert random_init, "codec path required unless --random-init"
+        cfg = EncodecConfig()
+        return cfg, init_encodec(cfg, jax.random.PRNGKey(seed))
+    from ..utils.convert_encodec import load_audiocraft_checkpoint
+    return load_audiocraft_checkpoint(path)

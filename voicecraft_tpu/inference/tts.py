@@ -84,6 +84,59 @@ def run_decode(params, cfg: ModelConfig, *, is_tts: bool,
     return out_spans
 
 
+@lru_cache(maxsize=16)
+def _get_batch_loop(cfg: ModelConfig, batch_size: int, x_pad: int, y_pad: int,
+                    gen_max: int, scfg: SamplingConfig):
+    from ..models.voicecraft import make_batch_tts_loop
+    return make_batch_tts_loop(cfg, batch_size=batch_size, x_pad=x_pad,
+                               y_pad=y_pad, gen_max=gen_max, scfg=scfg)
+
+
+def inference_tts_batch(params, cfg: ModelConfig, x_tokens: np.ndarray,
+                        y_codes: np.ndarray,
+                        scfg: SamplingConfig = SamplingConfig(),
+                        batch_size: int = 4, seed: int = 1,
+                        gen_max: Optional[int] = None
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Best-of-N TTS: N independent sampling paths over one prompt, return
+    the first to finish (reference inference_tts_batch,
+    voicecraft.py:1156-1439)."""
+    import jax
+    import jax.numpy as jnp
+    K = cfg.n_codebooks
+    if cfg.special_first:
+        y_codes = y_codes + cfg.n_special
+    prefix = spans.compose_tts_prefix(y_codes, cfg)
+    x_len = len(x_tokens)
+    cap_mult = cfg.encodec_sr // 5
+    if gen_max is None:
+        gen_max = max(x_len * cap_mult - prefix.length + K + 8, 2 * K + 8)
+    gen_max = _round_up(gen_max, 128)
+    x_pad = _round_up(x_len, 32)
+    y_pad = _round_up(prefix.length, 64)
+
+    xt = np.full((1, x_pad), cfg.text_pad_token, np.int32)
+    xt[0, :x_len] = x_tokens
+    yt = np.full((1, K, y_pad), cfg.empty_token, np.int32)
+    yt[0, :, :prefix.length] = prefix.tokens
+
+    loop = _get_batch_loop(cfg, batch_size, x_pad, y_pad, gen_max, scfg)
+    gen_buf, gen_cnt, keep = loop(
+        params, jnp.asarray(xt), jnp.asarray(x_len, jnp.int32),
+        jnp.asarray(yt), jnp.asarray(prefix.length, jnp.int32),
+        jax.random.PRNGKey(seed))
+    rows = np.asarray(gen_buf)[:int(gen_cnt), int(keep)]   # [n, K]
+    if rows.shape[0] <= K:
+        gen = np.zeros((K, 0), np.int32)
+    else:
+        gen = patterns.unshift_span(rows.T).astype(np.int32)
+    full = np.concatenate([y_codes, gen], axis=1)
+    if cfg.special_first:
+        full = full - cfg.n_special
+        gen = gen - cfg.n_special
+    return full, gen
+
+
 def inference_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
                   y_codes: np.ndarray, scfg: SamplingConfig = SamplingConfig(),
                   seed: int = 1, gen_max: Optional[int] = None

@@ -268,6 +268,55 @@ def decode(params, codes: jnp.ndarray, cfg: EncodecConfig) -> jnp.ndarray:
 
 
 # ==============================================================================
+# jitted, shape-bucketed entry points (host convenience)
+# ==============================================================================
+#
+# Eager per-op dispatch is catastrophically slow over a remote TPU tunnel, and
+# naive jit recompiles per audio length.  For a causal codec, right-padding
+# the input cannot change earlier output frames, so we pad to a bucket,
+# encode/decode once per bucket shape, and trim.
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=64)
+def _encode_fn(cfg: EncodecConfig):
+    return jax.jit(lambda p, w: encode(p, w, cfg))
+
+
+@_lru_cache(maxsize=64)
+def _decode_fn(cfg: EncodecConfig):
+    return jax.jit(lambda p, c: decode(p, c, cfg))
+
+
+def encode_bucketed(params, wav: np.ndarray, cfg: EncodecConfig,
+                    bucket_samples: int = 4 * 16000) -> np.ndarray:
+    """wav [B, T] numpy -> codes [B, n_q, ceil(T/hop)] numpy."""
+    assert cfg.causal, "bucketed encode requires a causal codec"
+    T = wav.shape[-1]
+    pad_T = max(((T + bucket_samples - 1) // bucket_samples) * bucket_samples,
+                bucket_samples)
+    padded = np.zeros(wav.shape[:-1] + (pad_T,), np.float32)
+    padded[..., :T] = wav
+    codes = np.asarray(_encode_fn(cfg)(params, jnp.asarray(padded)))
+    n_frames = -(-T // cfg.hop_length)
+    return codes[..., :n_frames]
+
+
+def decode_bucketed(params, codes: np.ndarray, cfg: EncodecConfig,
+                    bucket_frames: int = 200) -> np.ndarray:
+    """codes [B, n_q, T] numpy -> wav [B, T*hop] numpy."""
+    assert cfg.causal, "bucketed decode requires a causal codec"
+    T = codes.shape[-1]
+    pad_T = max(((T + bucket_frames - 1) // bucket_frames) * bucket_frames,
+                bucket_frames)
+    padded = np.zeros(codes.shape[:-1] + (pad_T,), np.int32)
+    padded[..., :T] = codes
+    wav = np.asarray(_decode_fn(cfg)(params, jnp.asarray(padded)))
+    return wav[..., :T * cfg.hop_length]
+
+
+# ==============================================================================
 # init (random weights; real weights come from utils/convert_encodec.py)
 # ==============================================================================
 

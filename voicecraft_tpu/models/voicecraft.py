@@ -502,3 +502,173 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
         return final.gen_buf, final.span_buf, final.gen_cnt, final.span_idx + 1
 
     return jax.jit(decode)
+
+
+# ==============================================================================
+# batched best-of-N TTS (reference voicecraft.py:1156-1439)
+# ==============================================================================
+
+class BatchDecodeState(NamedTuple):
+    cache: jnp.ndarray
+    logits: jnp.ndarray          # [B, K, card]
+    rng: jnp.ndarray
+    pos: jnp.ndarray
+    y_pos: jnp.ndarray
+    gen_buf: jnp.ndarray         # [gen_max, B, K]
+    gen_cnt: jnp.ndarray
+    codebook_eog: jnp.ndarray    # [K] (global, reference semantics)
+    cur_num_gen: jnp.ndarray
+    consec_silence: jnp.ndarray  # [B]
+    prev_token: jnp.ndarray      # [B]
+    keep: jnp.ndarray            # scalar, -1 until the first sample hits eog
+    done: jnp.ndarray
+
+
+def _batch_adjust_and_sample(cfg: ModelConfig, scfg: SamplingConfig,
+                             cap_mult: int, rng, logits, codebook_eog,
+                             cur_num_gen, consec, prev, y_pos, x_len, keep):
+    """Batched sample_helper (reference voicecraft.py:1269-1325): identical
+    prompts, independent sampling paths; the first row to emit eog becomes
+    ``keep`` and drives the eog cascade."""
+    B, K, card = logits.shape
+    eog_stop = cfg.eog_inference
+    rows = jnp.arange(K)[None, :, None]
+    cols = jnp.arange(card)[None, None, :]
+    n_eog = codebook_eog.sum()
+    first = n_eog == 0
+
+    la = logits
+    if cfg.eos > 0:
+        la = jnp.where(cols == cfg.eog, BAN, la)   # voicecraft.py:1369-1371
+    la = jnp.where((rows > n_eog) & ((cols == eog_stop)
+                                     | (cols == cfg.empty_token)), BAN, la)
+    # batch min-length guard bans eog on ALL codebooks (voicecraft.py:1275-1276)
+    min_guard = first & (cur_num_gen <= cfg.encodec_sr // 5)
+    la = jnp.where(min_guard & (cols == eog_stop), BAN, la)
+    if scfg.stop_repetition > 0 and len(scfg.silence_tokens) > 0:
+        sil = jnp.asarray(scfg.silence_tokens)
+        hit = (jnp.any(sil[None, :] == prev[:, None], axis=1)
+               & (consec > scfg.stop_repetition) & first)    # [B]
+        denom = (consec - (scfg.stop_repetition - 1)).astype(jnp.float32)
+        cell = (rows == 0) & (cols == prev[:, None, None])
+        pen = jnp.where(la < 0, la * denom[:, None, None],
+                        la / jnp.maximum(denom, 1.0)[:, None, None])
+        la = jnp.where(hit[:, None, None] & cell, pen, la)
+
+    samples = sample_tokens(rng, la, scfg.top_k, scfg.top_p,
+                            scfg.temperature)               # [B, K]
+
+    # ---- n_eog == 0 ----
+    s0 = jnp.where(jnp.arange(K)[None, :] > cur_num_gen,
+                   cfg.empty_token, samples)
+    stop_b = ((s0[:, 0] == eog_stop)
+              | (jnp.argmax(la[:, 0], axis=-1) == eog_stop)
+              | (y_pos > x_len * cap_mult))                 # [B]
+    s0 = s0.at[:, 0].set(jnp.where(stop_b, eog_stop, s0[:, 0]))
+    any_stop = jnp.any(stop_b)
+    # reference iterates b ascending and overwrites keep -> last hit wins
+    keep0 = jnp.where(any_stop,
+                      jnp.max(jnp.where(stop_b, jnp.arange(B), -1)), keep)
+    eog0 = codebook_eog.at[0].set(any_stop)
+    if len(scfg.silence_tokens) > 0:
+        sil = jnp.asarray(scfg.silence_tokens)
+        is_sil = (jnp.any(sil[None, :] == s0[:, 0:1], axis=1)
+                  & (s0[:, 0] == prev))
+    else:
+        is_sil = jnp.zeros((B,), bool)
+    consec0 = jnp.where(is_sil, consec + 1, 0)
+    prev0 = s0[:, 0]
+
+    # ---- n_eog > 0: cascade on the keep row only (voicecraft.py:1321-1324) ----
+    kk = jnp.maximum(keep, 0)
+    r = jnp.arange(K)
+    keep_row = jnp.where(r < n_eog, cfg.empty_token, samples[kk])
+    keep_row = jnp.where(r == n_eog, eog_stop, keep_row)
+    s1 = samples.at[kk].set(keep_row)
+    eog1 = codebook_eog | (r == n_eog)
+
+    new_samples = jnp.where(first, s0, s1)
+    new_eog = jnp.where(first, eog0, eog1)
+    new_consec = jnp.where(first, consec0, consec)
+    new_prev = jnp.where(first, prev0, prev)
+    new_keep = jnp.where(first, keep0, keep)
+    return new_samples, new_eog, new_consec, new_prev, new_keep
+
+
+def make_batch_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
+                        y_pad: int, gen_max: int, scfg: SamplingConfig):
+    """Best-of-N TTS: N sampling paths over one prompt; the first to finish
+    is returned (used by the gradio "speech rate" control,
+    gradio_app.py:506-509)."""
+    K, D = cfg.n_codebooks, cfg.d_model
+    H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    B = batch_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cap_mult = cfg.encodec_sr // 5
+    s_max = x_pad + y_pad + gen_max
+    pe_np = sine_table(MAX_POS, D)
+
+    def decode(params, x_tokens, x_len, y_prefix, prefix_len, rng):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        alpha_a = params["alpha_audio"].astype(dtype)
+
+        x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
+        x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
+        y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
+        y_in = y_emb + alpha_a * pe[:y_pad]
+        xy = jnp.concatenate([x_in, y_in], axis=1)
+        xy = jnp.broadcast_to(xy, (B,) + xy.shape[1:])
+
+        Sp = x_pad + y_pad
+        jj = jnp.arange(Sp)
+        key_valid = jnp.where(jj < x_pad, jj < x_len, jj < x_pad + prefix_len)
+        allowed = (jj[None, :] <= jj[:, None]) & key_valid[None, :]
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+
+        cache = trm.init_kv_cache(L, B, s_max, H, Dh, dtype)
+        h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)
+        h_last = jax.lax.dynamic_slice_in_dim(h, x_pad + prefix_len - 1, 1, axis=1)
+        logits0 = apply_heads(params["heads"], h_last)[:, 0]   # [B, K, card]
+
+        state = BatchDecodeState(
+            cache=cache, logits=logits0, rng=rng,
+            pos=jnp.asarray(x_pad) + prefix_len,
+            y_pos=prefix_len.astype(jnp.int32),
+            gen_buf=jnp.zeros((gen_max, B, K), jnp.int32),
+            gen_cnt=jnp.asarray(0, jnp.int32),
+            codebook_eog=jnp.zeros((K,), bool),
+            cur_num_gen=jnp.asarray(0, jnp.int32),
+            consec_silence=jnp.zeros((B,), jnp.int32),
+            prev_token=jnp.full((B,), -1, jnp.int32),
+            keep=jnp.asarray(-1, jnp.int32),
+            done=jnp.asarray(False))
+
+        def cond(s):
+            return jnp.logical_not(s.done) & (s.gen_cnt < gen_max)
+
+        def body(s):
+            rng, step_rng = jax.random.split(s.rng)
+            samples, new_eog, consec, prev, keep = _batch_adjust_and_sample(
+                cfg, scfg, cap_mult, step_rng, s.logits, s.codebook_eog,
+                s.cur_num_gen, s.consec_silence, s.prev_token,
+                s.y_pos, x_len, s.keep)
+            gen_buf = jax.lax.dynamic_update_slice(
+                s.gen_buf, samples[None], (s.gen_cnt, 0, 0))
+            done = jnp.all(new_eog)
+            feed_emb = embed_audio_tokens(
+                params["audio_emb"], samples[:, :, None])[:, 0].astype(dtype)
+            feed = feed_emb + alpha_a * jax.lax.dynamic_slice_in_dim(
+                pe, s.y_pos, 1, axis=0)                     # [B, D]
+            h, cache = trm.decode_step(params["decoder"], feed[:, None, :],
+                                       s.cache, s.pos, cfg.nhead,
+                                       x_len=x_len, x_pad=x_pad)
+            logits = apply_heads(params["heads"], h)[:, 0]
+            return BatchDecodeState(cache, logits, rng, s.pos + 1, s.y_pos + 1,
+                                    gen_buf, s.gen_cnt + 1, new_eog,
+                                    s.cur_num_gen + 1, consec, prev, keep,
+                                    done)
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.gen_buf, final.gen_cnt, jnp.maximum(final.keep, 0)
+
+    return jax.jit(decode)

@@ -35,6 +35,12 @@ log = logging.getLogger("voicecraft_tpu.trainer")
 class Trainer:
     def __init__(self, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None,
                  tb_writer=None):
+        if (jax.default_backend() == "cpu"
+                and mcfg.compute_dtype == "bfloat16"):
+            # CPU XLA lacks bf16xbf16->f32 dots; TPU keeps bf16
+            import dataclasses as _dc
+            mcfg = _dc.replace(mcfg, compute_dtype="float32")
+            log.info("cpu backend: compute dtype bfloat16 -> float32")
         self.mcfg, self.tcfg = mcfg, tcfg
         self.mesh = mesh
         self.start_time = time.time()
