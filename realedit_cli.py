@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""RealEdit batch speech-editing driver (reference
+inference_speech_editing_scale.py:127-226 main loop over RealEdit.txt).
+
+Manifest TSV columns: wav_fn, orig_transcript, new_transcript,
+orig_masked_span, new_masked_span, type.  Word alignments are MFA CSVs named
+<wav_fn stem>.csv in --align-dir.
+
+  python realedit_cli.py --manifest RealEdit.txt --audio-dir wavs/ \\
+      --align-dir alignments/ --model ckpt.pth --codec encodec.th --out-dir out/
+"""
+
+import argparse
+import csv
+import logging
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--audio-dir", required=True)
+    ap.add_argument("--align-dir", required=True)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--codec", default=None)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--left-margin", type=float, default=0.08)
+    ap.add_argument("--right-margin", type=float, default=0.08)
+    ap.add_argument("--top-k", type=int, default=-1)
+    ap.add_argument("--top-p", type=float, default=0.8)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--stop-repetition", type=int, default=-1)
+    ap.add_argument("--silence-tokens", type=int, nargs="*",
+                    default=[1388, 1898, 131])
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--num-seeds", type=int, default=1,
+                    help="write one output per seed (reference _new_seed{n})")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--language", default="en-us")
+    ap.add_argument("--text-backend", default="auto")
+    ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    from voicecraft_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup(args.platform)
+
+    from voicecraft_tpu.inference.loader import load_model, load_codec
+    from voicecraft_tpu.inference.editing import inference_edit, get_mask_interval
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    from voicecraft_tpu.models import encodec as ec
+    from voicecraft_tpu.data.phonemes import make_text_tokenizer, phones_to_ids
+    from voicecraft_tpu.utils import audio as au
+
+    cfg, params, phn2num = load_model(args.model, args.random_init, args.seed)
+    ccfg, cparams = load_codec(args.codec, args.random_init, args.seed)
+    tok = make_text_tokenizer(args.language, args.text_backend)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    with open(args.manifest) as f:
+        rows = list(csv.DictReader(f, delimiter="\t"))
+    if args.limit:
+        rows = rows[:args.limit]
+
+    scfg = SamplingConfig(top_k=args.top_k if args.top_k > 0 else 0,
+                          top_p=args.top_p, temperature=args.temperature,
+                          stop_repetition=args.stop_repetition,
+                          silence_tokens=tuple(args.silence_tokens))
+
+    n_ok = 0
+    for i, row in enumerate(rows):
+        try:
+            wav_fn = row["wav_fn"]
+            stem = os.path.splitext(wav_fn)[0]
+            wav = au.load_audio(os.path.join(args.audio_dir, wav_fn),
+                                ccfg.sample_rate)
+            audio_dur = wav.shape[1] / ccfg.sample_rate
+            codes = ec.encode_bucketed(cparams, wav, ccfg)[0]
+
+            with open(os.path.join(args.align_dir, stem + ".csv")) as f:
+                words = [r for r in csv.DictReader(f)
+                         if r.get("Type", "words") == "words"]
+            span = tuple(int(v) for v in row["orig_masked_span"].split(","))
+            start_sec, end_sec = get_mask_interval(words, span, row["type"])
+            start_sec = max(0.0, start_sec - args.left_margin)
+            end_sec = min(audio_dur, end_sec + args.right_margin)
+            interval = (int(start_sec * cfg.encodec_sr),
+                        int(end_sec * cfg.encodec_sr))
+
+            phones = tok.phonemize(row["new_transcript"].strip())
+            if phn2num is None:
+                from voicecraft_tpu.data.phonemes import build_vocab
+                phn2num = build_vocab([phones])
+            x = np.asarray(phones_to_ids(phones, phn2num), np.int32)
+
+            for s in range(args.num_seeds):
+                res = inference_edit(params, cfg, x, codes, [interval], scfg,
+                                     seed=args.seed + s)
+                out = ec.decode_bucketed(cparams, res[None], ccfg)[0]
+                out_fn = os.path.join(args.out_dir,
+                                      f"{stem}_new_seed{args.seed + s}.wav")
+                au.write_wav(out_fn, out, ccfg.sample_rate)
+            n_ok += 1
+            logging.info("[%d/%d] %s: span %s -> frames %s, ok",
+                         i + 1, len(rows), wav_fn, span, interval)
+        except Exception as e:
+            logging.warning("[%d/%d] %s failed: %s", i + 1, len(rows),
+                            row.get("wav_fn"), e)
+    logging.info("done: %d/%d edited", n_ok, len(rows))
+
+
+if __name__ == "__main__":
+    main()
