@@ -5,8 +5,10 @@ Prints ONE JSON line:
    "vs_baseline": <ratio>}
 
 Metric: generated-audio seconds per wall-clock second per chip (RTF) for the
-830M decoder in bf16 with the KV-slab decode loop (prompt prefill excluded
-from the steady-state rate; reported separately on stderr).
+830M decoder with the KV-slab decode loop (timing includes prefill).  Default
+is the serving config — weight-only fp8 decoder matmuls (batch-1 decode is
+HBM-bound; fp8 halves the bytes/step) — pass --bf16 for the full-precision
+parity config.
 
 Baseline: the reference repo publishes no numbers; its Colab notes report
 6-15 s per generation on a T4 with ~8 s prompts + ~10 s outputs
@@ -30,7 +32,12 @@ def main():
     ap.add_argument("--prompt-frames", type=int, default=150)
     ap.add_argument("--phones", type=int, default=120)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--bf16", action="store_true",
+                    help="full bf16 weights (parity mode); default is the "
+                         "serving config: weight-only fp8 decoder")
     args = ap.parse_args()
+    args.fp8 = not args.bf16
+
 
     import jax
     from voicecraft_tpu.config import PRESETS
@@ -45,6 +52,9 @@ def main():
     params = init_params(cfg, key)
     params = jax.tree.map(
         lambda x: x.astype("bfloat16") if x.dtype == np.float32 else x, params)
+    if args.fp8:
+        from voicecraft_tpu.utils.quantize import quantize_decoder_fp8
+        params = quantize_decoder_fp8(params)
 
     rng = np.random.default_rng(0)
     K = cfg.n_codebooks
@@ -102,7 +112,7 @@ def main():
           f"({steps_per_sec:.0f} steps/s incl. prefill)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "tts_rtf_830m",
+        "metric": "tts_rtf_830m" + ("" if args.fp8 else "_bf16"),
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 1.0, 3),

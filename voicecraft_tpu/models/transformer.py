@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import mha, decode_attention
+from ..ops.attention import mha, decode_attention, decode_attention_self
 
 
 # ---- init --------------------------------------------------------------------
@@ -85,6 +85,11 @@ def layer_norm(p, x, eps: float = 1e-5):
 
 
 def _proj(x, w, b):
+    if isinstance(w, dict):  # weight-only fp8 (utils/quantize.py)
+        y = jnp.dot(x, w["q"].astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y * w["scale"].reshape(1, -1).astype(x.dtype)
+        return y + b.astype(x.dtype)
     return jnp.dot(x, w.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype) + b.astype(x.dtype)
 
@@ -215,3 +220,43 @@ def decode_step(params, x_t, cache, pos, nhead: int,
 
     x, new_cache = jax.lax.scan(body, x_t, (params["layers"], cache))
     return layer_norm(params["final_ln"], x), new_cache
+
+
+def decode_step_fast(params, x_t, cache, pos, nhead: int,
+                     x_len=None, x_pad: int | None = None):
+    """One autoregressive step with a WRITE-ONCE cache update.
+
+    Unlike :func:`decode_step`, the layer scan reads the slab read-only and
+    threads only the current token's per-layer k/v out; a single
+    dynamic_update_slice then writes all L layers' new k/v at ``pos``.  This
+    avoids rebuilding the (large) slab once per layer per step, which costs
+    hundreds of MB of HBM traffic at 830M scale.
+    """
+    L, _, B, S_max, H, Dh = cache.shape
+
+    def body(carry, scanned):
+        h_in = carry
+        layer_p, layer_cache = scanned
+        h = layer_norm(layer_p["ln1"], h_in)
+        q = _proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
+        k = _proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
+        v = _proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        k_new = k.reshape(B, 1, H, Dh)
+        v_new = v.reshape(B, 1, H, Dh)
+        a = decode_attention_self(
+            q, layer_cache[0].astype(q.dtype), layer_cache[1].astype(q.dtype),
+            pos, k_new, v_new, nhead, x_len=x_len, x_pad=x_pad)
+        a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
+        x1 = h_in + a
+        h2 = layer_norm(layer_p["ln2"], x1)
+        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
+        h2 = jax.nn.relu(h2)
+        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        out = x1 + h2
+        kv = jnp.stack([k_new, v_new], axis=0).astype(cache.dtype)  # [2,B,1,H,Dh]
+        return out, kv
+
+    x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache))
+    # kv_new: [L, 2, B, 1, H, Dh] — one small write for the whole step
+    cache = jax.lax.dynamic_update_slice(cache, kv_new, (0, 0, 0, pos, 0, 0))
+    return layer_norm(params["final_ln"], x), cache

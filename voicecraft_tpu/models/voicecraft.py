@@ -108,15 +108,19 @@ def embed_audio_tokens(table: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
 
 def apply_heads(heads, h: jnp.ndarray) -> jnp.ndarray:
     """h [..., D] -> logits [..., K, card] in f32
-    (reference voicecraft.py:181-185,515)."""
-    w1 = heads["w1"].astype(h.dtype)
-    h1 = jnp.einsum("...d,kdh->...kh", h, w1,
-                    preferred_element_type=jnp.float32)
-    h1 = h1 + heads["b1"].astype(jnp.float32)
+    (reference voicecraft.py:181-185,515).  Supports weight-only fp8 heads
+    (utils/quantize.py): per-output-column scales applied after the einsum."""
+    def _mm(x, w, spec):
+        if isinstance(w, dict):
+            y = jnp.einsum(spec, x, w["q"].astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+            return y * w["scale"][:, 0].astype(jnp.float32)
+        return jnp.einsum(spec, x, w.astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+
+    h1 = _mm(h, heads["w1"], "...d,kdh->...kh") + heads["b1"].astype(jnp.float32)
     h1 = jax.nn.gelu(h1, approximate=False)
-    logits = jnp.einsum("...kh,khc->...kc", h1.astype(h.dtype),
-                        heads["w2"].astype(h.dtype),
-                        preferred_element_type=jnp.float32)
+    logits = _mm(h1.astype(h.dtype), heads["w2"], "...kh,khc->...kc")
     return logits + heads["b2"].astype(jnp.float32)
 
 
@@ -488,7 +492,7 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
             # --- feed one embedding through the decoder ---
             feed = (feed_emb + alpha_a * jax.lax.dynamic_slice_in_dim(
                 pe, s.y_pos, 1, axis=0)[0])[None, None, :]
-            h, cache = trm.decode_step(params["decoder"], feed, s.cache,
+            h, cache = trm.decode_step_fast(params["decoder"], feed, s.cache,
                                        s.pos, cfg.nhead,
                                        x_len=x_len, x_pad=x_pad)
             logits = apply_heads(params["heads"], h)[:, 0]
@@ -659,7 +663,7 @@ def make_batch_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                 params["audio_emb"], samples[:, :, None])[:, 0].astype(dtype)
             feed = feed_emb + alpha_a * jax.lax.dynamic_slice_in_dim(
                 pe, s.y_pos, 1, axis=0)                     # [B, D]
-            h, cache = trm.decode_step(params["decoder"], feed[:, None, :],
+            h, cache = trm.decode_step_fast(params["decoder"], feed[:, None, :],
                                        s.cache, s.pos, cfg.nhead,
                                        x_len=x_len, x_pad=x_pad)
             logits = apply_heads(params["heads"], h)[:, 0]

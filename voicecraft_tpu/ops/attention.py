@@ -88,6 +88,47 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: jnp.ndarray,
     return out.transpose(0, 2, 1, 3).reshape(B, Sq, D)
 
 
+def decode_attention_self(q: jnp.ndarray, k_cache: jnp.ndarray,
+                          v_cache: jnp.ndarray, kv_len: jnp.ndarray,
+                          k_new: jnp.ndarray, v_new: jnp.ndarray,
+                          nhead: int,
+                          x_len: jnp.ndarray | None = None,
+                          x_pad: int | None = None) -> jnp.ndarray:
+    """Single-step attention over a READ-ONLY slab plus the current token.
+
+    The hot-loop variant: the slab holds positions [0, kv_len) and is never
+    rewritten inside the layer scan; the current token's k/v enter the softmax
+    as an explicit extra term.  This avoids the per-layer full-slab
+    dynamic_update_slice copies (hundreds of MB/step at 830M scale).
+
+    q: [B, 1, D]; k_cache/v_cache: [B, S_max, H, Dh]; k_new/v_new: [B, 1, H, Dh].
+    """
+    B, S_max, H, Dh = k_cache.shape
+    # keep the cache's native [B, S, H, Dh] layout — no transposes, the
+    # einsums contract directly (a materialised transpose would copy the
+    # whole slab every step)
+    qh = q.reshape(B, 1, H, Dh)
+    scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+    j = jnp.arange(S_max)[None, None, None, :]
+    mask = j < kv_len
+    if x_pad is not None:
+        mask = mask & ((j < x_len) | (j >= x_pad))
+    logits = jnp.where(mask, logits, NEG_INF)
+    # self term: q attends its own k (always allowed)
+    logit_self = jnp.einsum("bqhd,bkhd->bhqk", qh, k_new,
+                            preferred_element_type=jnp.float32) * scale
+    all_logits = jnp.concatenate([logits, logit_self], axis=-1)
+    probs = jax.nn.softmax(all_logits, axis=-1).astype(v_cache.dtype)
+    out = (jnp.einsum("bhqk,bkhd->bqhd", probs[..., :-1], v_cache,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhqk,bkhd->bqhd", probs[..., -1:], v_new,
+                        preferred_element_type=jnp.float32)
+           ).astype(v_cache.dtype)
+    return out.reshape(B, 1, H * Dh)
+
+
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                      kv_len: jnp.ndarray, nhead: int,
                      x_len: jnp.ndarray | None = None,

@@ -5,10 +5,14 @@ even when JAX_PLATFORMS=cpu is exported)."""
 import os
 
 
-def setup(platform: str | None = None, compile_cache: bool = True) -> None:
+def setup(platform: str | None = None, compile_cache: bool | None = None) -> None:
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
+    # The persistent compilation cache hangs compilation on the experimental
+    # axon tunnel backend — enable only when explicitly requested via env.
+    if compile_cache is None:
+        compile_cache = "VOICECRAFT_TPU_CACHE" in os.environ
     if compile_cache:
         cache_dir = os.environ.get(
             "VOICECRAFT_TPU_CACHE",
