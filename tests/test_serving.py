@@ -1,0 +1,48 @@
+"""Multi-stream serving decode: each lane must match the single-sample
+decode of the same request exactly (greedy)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+
+from voicecraft_tpu.config import tiny_test
+from voicecraft_tpu.models.voicecraft import init_params, SamplingConfig
+from voicecraft_tpu.inference.tts import inference_tts
+from voicecraft_tpu.inference.serving import serve_tts_batch
+
+
+def test_serving_lanes_match_single_greedy():
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(4)
+    K = cfg.n_codebooks
+    reqs = []
+    for b in range(3):
+        x = rng.integers(0, cfg.text_vocab_size, 8 + 3 * b).astype(np.int32)
+        y = rng.integers(0, cfg.audio_vocab_size, (K, 15 + 7 * b)).astype(np.int32)
+        reqs.append((x, y))
+
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+    batch_out = serve_tts_batch(params, cfg, reqs, scfg, seed=0)
+
+    for b, (x, y) in enumerate(reqs):
+        full1, gen1 = inference_tts(params, cfg, x, y, scfg, seed=0)
+        fullB, genB = batch_out[b]
+        assert genB.shape == gen1.shape, (b, genB.shape, gen1.shape)
+        np.testing.assert_array_equal(genB, gen1, err_msg=f"lane {b}")
+        np.testing.assert_array_equal(fullB[:, :y.shape[1]], y)
+
+
+def test_serving_stochastic_independent_lanes():
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(5)
+    K = cfg.n_codebooks
+    x = rng.integers(0, cfg.text_vocab_size, 10).astype(np.int32)
+    y = rng.integers(0, cfg.audio_vocab_size, (K, 20)).astype(np.int32)
+    # identical requests in different lanes draw independent samples
+    scfg = SamplingConfig(top_k=20, temperature=1.0, silence_tokens=(5, 7))
+    out = serve_tts_batch(params, cfg, [(x, y), (x, y)], scfg, seed=9)
+    g0, g1 = out[0][1], out[1][1]
+    assert g0.shape != g1.shape or not np.array_equal(g0, g1)

@@ -20,15 +20,23 @@ from ..models.voicecraft import init_params
 from ..models.encodec import EncodecConfig, init_encodec
 
 
+def _cpu_dtype_fix(cfg: ModelConfig) -> ModelConfig:
+    if jax.default_backend() == "cpu" and cfg.compute_dtype == "bfloat16":
+        import dataclasses
+        return dataclasses.replace(cfg, compute_dtype="float32")
+    return cfg
+
+
 def load_model(path_or_preset: str, random_init: bool = False,
                seed: int = 0) -> Tuple[ModelConfig, dict, Optional[Dict[str, int]]]:
     if path_or_preset in PRESETS:
-        cfg = PRESETS[path_or_preset]()
+        cfg = _cpu_dtype_fix(PRESETS[path_or_preset]())
         assert random_init, "presets require --random-init (no weights)"
         return cfg, init_params(cfg, jax.random.PRNGKey(seed)), None
     if path_or_preset.endswith(".pth"):
         from ..utils.convert import load_reference_bundle
-        return load_reference_bundle(path_or_preset)
+        cfg, params, phn2num = load_reference_bundle(path_or_preset)
+        return _cpu_dtype_fix(cfg), params, phn2num
     # orbax checkpoint dir from training/trainer.py
     meta_fn = os.path.join(os.path.dirname(path_or_preset.rstrip("/")),
                            "meta_" + os.path.basename(
@@ -36,7 +44,7 @@ def load_model(path_or_preset: str, random_init: bool = False,
                            + ".json")
     with open(meta_fn) as f:
         meta = json.load(f)
-    cfg = ModelConfig.from_dict(meta["model_config"])
+    cfg = _cpu_dtype_fix(ModelConfig.from_dict(meta["model_config"]))
     import orbax.checkpoint as ocp
     target = {"params": init_params(cfg, jax.random.PRNGKey(0)),
               "opt_state": None, "rng": jax.random.PRNGKey(0)}

@@ -1,0 +1,200 @@
+"""Multi-stream TTS serving: N *distinct* prompts decoded in lockstep.
+
+This is the production-serving path the reference lacks entirely (its batch
+mode, voicecraft.py:1156-1439, runs N samples of ONE prompt and keeps the
+first finisher).  Here each lane carries its own text/prompt/lengths and
+per-lane stopping state; batch-1 decode is HBM-bandwidth-bound (every step
+reads all weights), so N lanes cost roughly the same wall-clock per step and
+aggregate throughput scales ~linearly until the MXU saturates.
+
+Slab layout per lane b (uniform write pointer across lanes):
+    [ text 0..x_len_b | pad .. x_pad | prompt 0..prefix_len_b | pad .. y_pad |
+      generated tokens ... ]
+Per-lane validity masks carve out the pads (ops/attention.py
+decode_attention_multi).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..data import spans
+from ..models import transformer as trm
+from ..models.embedding import sine_table
+from ..models.voicecraft import (
+    MAX_POS, SamplingConfig, _adjust_and_sample, apply_heads,
+    embed_audio_tokens)
+from ..ops import patterns
+from ..ops.attention import NEG_INF
+
+
+class ServingState(NamedTuple):
+    cache: jnp.ndarray
+    logits: jnp.ndarray          # [B, K, card]
+    rng: jnp.ndarray
+    t: jnp.ndarray               # decode step counter (uniform)
+    gen_buf: jnp.ndarray         # [gen_max, B, K]
+    codebook_eog: jnp.ndarray    # [B, K]
+    consec_silence: jnp.ndarray  # [B]
+    prev_token: jnp.ndarray      # [B]
+    finish_t: jnp.ndarray        # [B] step index of cascade completion (-1)
+    done: jnp.ndarray            # [B]
+
+
+def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
+                          y_pad: int, gen_max: int, scfg: SamplingConfig):
+    """Returns jitted fn(params, x_tokens [B,x_pad], x_lens [B],
+    y_prefix [B,K,y_pad], prefix_lens [B], rng)
+      -> (gen_buf [gen_max,B,K], finish_t [B])."""
+    K, D = cfg.n_codebooks, cfg.d_model
+    H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    B = batch_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cap_mult = cfg.encodec_sr // 5
+    y_start = x_pad + y_pad
+    s_max = y_start + gen_max
+    pe_np = sine_table(MAX_POS, D)
+
+    sample_lane = jax.vmap(
+        lambda rng, lg, eog, cng, cs, pt, yp, xl: _adjust_and_sample(
+            cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl),
+        in_axes=(0, 0, 0, None, 0, 0, 0, 0))
+
+    def decode(params, x_tokens, x_lens, y_prefix, prefix_lens, rng):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        alpha_a = params["alpha_audio"].astype(dtype)
+
+        x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
+        x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
+        y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
+        y_in = y_emb + alpha_a * pe[:y_pad]
+        xy = jnp.concatenate([x_in, y_in], axis=1)          # [B, y_start, D]
+
+        jj = jnp.arange(y_start)
+        key_valid = ((jj[None, :] < x_lens[:, None])
+                     | ((jj[None, :] >= x_pad)
+                        & (jj[None, :] < x_pad + prefix_lens[:, None])))
+        allowed = (jj[None, :] <= jj[:, None])[None] & key_valid[:, None, :]
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+
+        cache = trm.init_kv_cache(L, B, s_max, H, Dh, dtype)
+        h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)
+        last_idx = x_pad + prefix_lens - 1                   # [B]
+        h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)
+        logits0 = apply_heads(params["heads"], h_last)[:, 0]  # [B, K, card]
+
+        state = ServingState(
+            cache=cache, logits=logits0, rng=rng,
+            t=jnp.asarray(0, jnp.int32),
+            gen_buf=jnp.zeros((gen_max, B, K), jnp.int32),
+            codebook_eog=jnp.zeros((B, K), bool),
+            consec_silence=jnp.zeros((B,), jnp.int32),
+            prev_token=jnp.full((B,), -1, jnp.int32),
+            finish_t=jnp.full((B,), -1, jnp.int32),
+            done=jnp.zeros((B,), bool))
+
+        def cond(s: ServingState):
+            return jnp.logical_not(jnp.all(s.done)) & (s.t < gen_max)
+
+        def body(s: ServingState) -> ServingState:
+            rng, step_rng = jax.random.split(s.rng)
+            lane_rngs = jax.random.split(step_rng, B)
+            y_pos = prefix_lens + s.t                        # [B]
+            samples, new_eog, new_consec, new_prev = sample_lane(
+                lane_rngs, s.logits, s.codebook_eog, s.t,
+                s.consec_silence, s.prev_token, y_pos, x_lens)
+            # freeze finished lanes: emit empties, keep eog all-True
+            samples = jnp.where(s.done[:, None],
+                                jnp.full((B, K), cfg.empty_token, jnp.int32),
+                                samples)
+            new_eog = jnp.where(s.done[:, None], s.codebook_eog, new_eog)
+            lane_complete = jnp.all(new_eog, axis=1) & jnp.logical_not(s.done)
+            finish_t = jnp.where(lane_complete, s.t, s.finish_t)
+            done = s.done | lane_complete
+
+            gen_buf = jax.lax.dynamic_update_slice(
+                s.gen_buf, samples[None], (s.t, 0, 0))
+
+            feed_emb = embed_audio_tokens(
+                params["audio_emb"], samples[:, :, None])[:, 0].astype(dtype)
+            feed = feed_emb + alpha_a * jnp.take(pe, y_pos, axis=0)
+            h, cache = trm.decode_step_multi(
+                params["decoder"], feed[:, None, :], s.cache,
+                y_start + s.t, cfg.nhead, x_lens, x_pad, prefix_lens, y_start)
+            logits = apply_heads(params["heads"], h)[:, 0]
+
+            return ServingState(cache, logits, rng, s.t + 1, gen_buf,
+                                new_eog, new_consec, new_prev, finish_t, done)
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.gen_buf, final.finish_t
+
+    return jax.jit(decode)
+
+
+@lru_cache(maxsize=8)
+def _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg):
+    return make_serving_tts_loop(cfg, batch_size=B, x_pad=x_pad, y_pad=y_pad,
+                                 gen_max=gen_max, scfg=scfg)
+
+
+def _ceil(v, m):
+    return (v + m - 1) // m * m
+
+
+def serve_tts_batch(params, cfg: ModelConfig,
+                    requests: Sequence[Tuple[np.ndarray, np.ndarray]],
+                    scfg: SamplingConfig = SamplingConfig(),
+                    seed: int = 1,
+                    pads: Optional[Tuple[int, int, int]] = None,
+                    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Decode a batch of (x_tokens [Lx], y_codes [K, T]) requests.
+
+    Returns [(full_codes, generated_codes)] per request, reference
+    inference_tts output semantics per lane.
+    """
+    K = cfg.n_codebooks
+    B = len(requests)
+    prefixes = [spans.compose_tts_prefix(
+        y + (cfg.n_special if cfg.special_first else 0), cfg)
+        for _, y in requests]
+    x_lens = np.asarray([len(x) for x, _ in requests], np.int32)
+    p_lens = np.asarray([p.length for p in prefixes], np.int32)
+    cap = cfg.encodec_sr // 5
+    if pads is None:
+        x_pad = _ceil(int(x_lens.max()), 32)
+        y_pad = _ceil(int(p_lens.max()), 64)
+        gen_max = _ceil(int((x_lens * cap - p_lens).max()) + K + 8, 128)
+    else:
+        x_pad, y_pad, gen_max = pads
+
+    xt = np.full((B, x_pad), cfg.text_pad_token, np.int32)
+    yt = np.full((B, K, y_pad), cfg.empty_token, np.int32)
+    for b, ((x, _), p) in enumerate(zip(requests, prefixes)):
+        xt[b, :len(x)] = x
+        yt[b, :, :p.length] = p.tokens
+
+    loop = _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg)
+    gen_buf, finish_t = loop(params, jnp.asarray(xt), jnp.asarray(x_lens),
+                             jnp.asarray(yt), jnp.asarray(p_lens),
+                             jax.random.PRNGKey(seed))
+    gen_buf = np.asarray(gen_buf)
+    finish_t = np.asarray(finish_t)
+
+    out = []
+    for b, (x, y) in enumerate(requests):
+        n = int(finish_t[b]) + 1 if finish_t[b] >= 0 else gen_buf.shape[0]
+        rows = gen_buf[:n, b]                                # [n, K]
+        if rows.shape[0] <= K:
+            gen = np.zeros((K, 0), np.int32)
+        else:
+            gen = patterns.unshift_span(rows.T).astype(np.int32)
+        full = np.concatenate([y, gen], axis=1)
+        out.append((full, gen))
+    return out

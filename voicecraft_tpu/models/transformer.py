@@ -24,7 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import mha, decode_attention, decode_attention_self
+from ..ops.attention import (mha, decode_attention, decode_attention_self,
+                             decode_attention_multi)
 
 
 # ---- init --------------------------------------------------------------------
@@ -258,5 +259,38 @@ def decode_step_fast(params, x_t, cache, pos, nhead: int,
 
     x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache))
     # kv_new: [L, 2, B, 1, H, Dh] — one small write for the whole step
+    cache = jax.lax.dynamic_update_slice(cache, kv_new, (0, 0, 0, pos, 0, 0))
+    return layer_norm(params["final_ln"], x), cache
+
+
+def decode_step_multi(params, x_t, cache, pos, nhead: int,
+                      x_lens, x_pad: int, prefix_lens, y_start: int):
+    """Multi-stream variant of :func:`decode_step_fast`: per-lane text and
+    prompt lengths, uniform write pointer at ``pos`` (>= y_start)."""
+    L, _, B, S_max, H, Dh = cache.shape
+
+    def body(carry, scanned):
+        h_in = carry
+        layer_p, layer_cache = scanned
+        h = layer_norm(layer_p["ln1"], h_in)
+        q = _proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
+        k = _proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
+        v = _proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        k_new = k.reshape(B, 1, H, Dh)
+        v_new = v.reshape(B, 1, H, Dh)
+        a = decode_attention_multi(
+            q, layer_cache[0].astype(q.dtype), layer_cache[1].astype(q.dtype),
+            pos, k_new, v_new, nhead, x_lens, x_pad, prefix_lens, y_start)
+        a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
+        x1 = h_in + a
+        h2 = layer_norm(layer_p["ln2"], x1)
+        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
+        h2 = jax.nn.relu(h2)
+        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        out = x1 + h2
+        kv = jnp.stack([k_new, v_new], axis=0).astype(cache.dtype)
+        return out, kv
+
+    x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache))
     cache = jax.lax.dynamic_update_slice(cache, kv_new, (0, 0, 0, pos, 0, 0))
     return layer_norm(params["final_ln"], x), cache

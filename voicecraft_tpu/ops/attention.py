@@ -129,6 +129,39 @@ def decode_attention_self(q: jnp.ndarray, k_cache: jnp.ndarray,
     return out.reshape(B, 1, H * Dh)
 
 
+def decode_attention_multi(q: jnp.ndarray, k_cache: jnp.ndarray,
+                           v_cache: jnp.ndarray, kv_len: jnp.ndarray,
+                           k_new: jnp.ndarray, v_new: jnp.ndarray,
+                           nhead: int, x_lens: jnp.ndarray, x_pad: int,
+                           prefix_lens: jnp.ndarray, y_start: int
+                           ) -> jnp.ndarray:
+    """Multi-stream decode attention: per-lane segment validity.
+
+    Slab layout per lane b: text [0, x_len_b) valid within [0, x_pad);
+    prompt prefix [x_pad, x_pad + prefix_len_b) within [x_pad, y_start);
+    generated tokens [y_start, kv_len) (uniform write pointer).
+    """
+    B, S_max, H, Dh = k_cache.shape
+    qh = q.reshape(B, 1, H, Dh)
+    scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+    j = jnp.arange(S_max)[None, :]
+    valid = ((j < x_lens[:, None])
+             | ((j >= x_pad) & (j < x_pad + prefix_lens[:, None]))
+             | ((j >= y_start) & (j < kv_len)))
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    logit_self = jnp.einsum("bqhd,bkhd->bhqk", qh, k_new,
+                            preferred_element_type=jnp.float32) * scale
+    all_logits = jnp.concatenate([logits, logit_self], axis=-1)
+    probs = jax.nn.softmax(all_logits, axis=-1).astype(v_cache.dtype)
+    out = (jnp.einsum("bhqk,bkhd->bqhd", probs[..., :-1], v_cache,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhqk,bkhd->bqhd", probs[..., -1:], v_new,
+                        preferred_element_type=jnp.float32)).astype(v_cache.dtype)
+    return out.reshape(B, 1, H * Dh)
+
+
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                      kv_len: jnp.ndarray, nhead: int,
                      x_len: jnp.ndarray | None = None,
