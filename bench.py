@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="full bf16 weights (parity mode); default is the "
                          "serving config: weight-only fp8 decoder")
+    ap.add_argument("--serve", type=int, default=0, metavar="LANES",
+                    help="measure aggregate multi-stream serving throughput "
+                         "with N distinct-prompt lanes instead of "
+                         "single-stream latency")
     args = ap.parse_args()
     args.fp8 = not args.bf16
 
@@ -58,6 +62,11 @@ def main():
 
     rng = np.random.default_rng(0)
     K = cfg.n_codebooks
+
+    if args.serve:
+        _bench_serving(args, cfg, params, rng)
+        return
+
     x_tokens = rng.integers(0, cfg.text_vocab_size, args.phones).astype(np.int32)
     prompt = rng.integers(0, cfg.audio_vocab_size,
                           (K, args.prompt_frames)).astype(np.int32)
@@ -116,6 +125,56 @@ def main():
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 1.0, 3),
+    }))
+
+
+def _bench_serving(args, cfg, params, rng):
+    """Aggregate throughput with N distinct-prompt lanes (serving config)."""
+    import jax
+    import jax.numpy as jnp
+    from voicecraft_tpu.data import spans
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    from voicecraft_tpu.inference.serving import make_serving_tts_loop
+
+    B = args.serve
+    K = cfg.n_codebooks
+    x_pad, y_pad, gen_max = 128, 192, args.frames
+    scfg = SamplingConfig(top_k=40, stop_repetition=3)
+    xt = rng.integers(0, cfg.text_vocab_size, (B, x_pad)).astype(np.int32)
+    x_lens = np.full((B,), x_pad, np.int32)
+    yt = np.full((B, K, y_pad), cfg.empty_token, np.int32)
+    p_lens = np.zeros((B,), np.int32)
+    for b in range(B):
+        prompt = rng.integers(0, cfg.audio_vocab_size,
+                              (K, args.prompt_frames)).astype(np.int32)
+        pre = spans.compose_tts_prefix(prompt, cfg)
+        yt[b, :, :pre.length] = pre.tokens
+        p_lens[b] = pre.length
+    loop = make_serving_tts_loop(cfg, batch_size=B, x_pad=x_pad,
+                                 y_pad=y_pad, gen_max=gen_max, scfg=scfg)
+    a = (params, jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
+         jnp.asarray(p_lens), jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    out = loop(*a)
+    _ = np.asarray(out[1])
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = loop(*a)
+        ft = np.asarray(out[1])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    frames = int(np.where(ft >= 0, ft + 1, gen_max).sum())
+    rtf = frames / cfg.encodec_sr / best
+    print(f"serving: {best:.2f}s for {frames} frames across {B} lanes",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"tts_serving_rtf_830m_b{B}",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf, 2),
     }))
 
 
