@@ -82,16 +82,15 @@ class ManifestDataset:
         pf = os.path.join(t.dataset_dir, t.phn_folder_name, item[1] + ".txt")
         ef = os.path.join(t.dataset_dir, t.encodec_folder_name, item[1] + ".txt")
         try:
-            with open(pf) as p, open(ef) as e:
+            with open(pf) as p:
                 phns = p.read().strip().splitlines()
                 assert len(phns) == 1, pf
                 x = [self.phn2num[w] for w in phns[0].split(" ")
                      if w not in SYMBOL_SET]
-                enc = [l.strip().split() for k, l in enumerate(e)
-                       if k < m.n_codebooks]
-                assert len(enc) == m.n_codebooks, ef
-                y = np.asarray([[int(v) for v in row] for row in enc],
-                               np.int32)
+            from ..native import load_codes
+            y = load_codes(ef, m.n_codebooks)
+            if y is None:
+                return None
         except Exception:
             return None
         if m.special_first:

@@ -145,6 +145,30 @@ class Trainer:
         return np.random.default_rng(
             (self.tcfg.seed, epoch, batch_idx, jax.process_index()))
 
+    def _prefetch(self, epoch: int, batches, start_b: int, depth: int = 2):
+        """Background collate: overlaps host-side load/compose with device
+        steps (the reference used DataLoader worker processes for this,
+        steps/trainer.py:332-367; here one thread + the native C++ reader
+        suffice since composition is numpy)."""
+        import queue as _q
+        import threading
+        q: "_q.Queue" = _q.Queue(maxsize=depth)
+
+        def producer():
+            for bi in range(start_b, len(batches)):
+                rng_host = self._host_rng(epoch, bi)
+                q.put((bi, collate_train(self.train_ds, batches[bi],
+                                         rng_host)))
+            q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
     def train(self, max_steps: Optional[int] = None):
         t = self.tcfg
         total = min(self.total_step, max_steps or self.total_step)
@@ -154,13 +178,11 @@ class Trainer:
             epoch = self.progress["epoch"]
             batches = self.batcher.epoch_batches(epoch)
             start_b = self.progress["batch_in_epoch"]
-            for bi in range(start_b, len(batches)):
+            for bi, batch in self._prefetch(epoch, batches, start_b):
                 step = self.progress["step"]
                 if step > total:
                     flag = False
                     break
-                rng_host = self._host_rng(epoch, bi)
-                batch = collate_train(self.train_ds, batches[bi], rng_host)
                 data_time = time.time() - data_t0
                 if batch is None:
                     self.progress["batch_in_epoch"] = bi + 1
