@@ -180,6 +180,10 @@ class TrainConfig:
     print_every_n_steps: int = 400
     val_every_n_steps: int = 800
 
+    # observability (SURVEY.md §5): jax.profiler trace dir, traced step window
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 

@@ -19,7 +19,7 @@ from ..models.voicecraft import TrainBatch, forward_train
 
 
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
-                    remat: bool = True):
+                    remat: bool = True, grad_accum: int = 1):
     """Returns jitted step(params, opt_state, batch, rng) ->
     (params, opt_state, metrics).
 
@@ -27,14 +27,49 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     non-finite the update is skipped wholesale and ``metrics['is_nan']`` is 1
     — all data-parallel shards see the same global loss, so they skip
     together, exactly like the reference's all-reduced is_nan flag.
+
+    grad_accum > 1 splits the batch into ``grad_accum`` stripes along the
+    batch dim (batch size must be divisible; the trainer pads with
+    fully-masked rows) and SUMS gradients across microbatches, matching the
+    reference's raw-sum loss backward for ScaledAdam
+    (steps/trainer.py:87-141).
     """
 
-    def step(params, opt_state, batch: TrainBatch, rng):
+    def grads_of(params, batch, rng):
         def loss_fn(p):
             out = forward_train(p, cfg, batch, rng=rng, remat=remat)
             return out["loss"], out
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    def step(params, opt_state, batch: TrainBatch, rng):
+        if grad_accum <= 1:
+            (loss, out), grads = grads_of(params, batch, rng)
+        else:
+            B = batch.x.shape[0]
+            assert B % grad_accum == 0, (B, grad_accum)
+            mb = jax.tree.map(
+                lambda x: x.reshape(grad_accum, B // grad_accum, *x.shape[1:]),
+                batch)
+            rngs = jax.random.split(rng, grad_accum)
+
+            def micro(carry, inp):
+                gsum, loss_sum, acc_sum, acc_cb_sum, ntok_sum = carry
+                b, r = inp
+                (l, out), g = grads_of(params, b, r)
+                return (jax.tree.map(jnp.add, gsum, g), loss_sum + l,
+                        acc_sum + out["top10acc"],
+                        acc_cb_sum + out["top10acc_by_codebook"],
+                        ntok_sum + out["effective_ntoken"]), None
+
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            K = cfg.n_codebooks
+            init = (zero_g, jnp.float32(0), jnp.float32(0),
+                    jnp.zeros((K,), jnp.float32), jnp.int32(0))
+            (grads, loss, acc, acc_cb, ntok), _ = jax.lax.scan(
+                micro, init, (mb, rngs))
+            out = {"top10acc": acc, "top10acc_by_codebook": acc_cb,
+                   "effective_ntoken": ntok}
         ok = jnp.isfinite(loss)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

@@ -32,6 +32,26 @@ from .step import make_train_step
 log = logging.getLogger("voicecraft_tpu.trainer")
 
 
+def _pad_batch(batch, B_target: int):
+    """Pad a TrainBatch with fully-masked rows (target_valid all False) so
+    the batch dim divides the grad-accumulation factor; padded rows
+    contribute nothing to loss or metrics."""
+    B = batch.x.shape[0]
+    if B == B_target:
+        return batch
+
+    def pad(x, fill=0):
+        widths = [(0, B_target - B)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    from ..models.voicecraft import TrainBatch
+    return TrainBatch(
+        x=pad(batch.x), x_lens=pad(batch.x_lens, 1),
+        y_tokens=pad(batch.y_tokens), y_lens=pad(batch.y_lens, 1),
+        mask_emb_idx=pad(batch.mask_emb_idx, -1),
+        target_valid=pad(batch.target_valid, False))
+
+
 class Trainer:
     def __init__(self, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None,
                  tb_writer=None):
@@ -85,8 +105,15 @@ class Trainer:
             from ..parallel.mesh import shard_params
             self.params = shard_params(self.params, mesh)
         self.opt_state = jax.jit(self.tx.init)(self.params)
-        self.step_fn = make_train_step(mcfg, self.tx)
+        self.step_fn = make_train_step(
+            mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps)
         self.rng = jax.random.PRNGKey(tcfg.seed)
+
+        from ..utils.profiling import AverageMeter, StepProfiler
+        self.meters = {k: AverageMeter(k) for k in ("data_time", "train_time")}
+        self.profiler = StepProfiler(tcfg.profile_dir,
+                                     start=tcfg.profile_start_step,
+                                     stop=tcfg.profile_start_step + 3)
 
         self.progress = {"step": 1, "epoch": 0, "batch_in_epoch": 0,
                          "best_step": 1, "best_score": float("inf"),
@@ -187,15 +214,21 @@ class Trainer:
                 if batch is None:
                     self.progress["batch_in_epoch"] = bi + 1
                     continue
+                gas = t.gradient_accumulation_steps
+                if gas > 1 and batch.x.shape[0] % gas != 0:
+                    batch = _pad_batch(batch, -(-batch.x.shape[0] // gas) * gas)
                 if self.mesh is not None:
                     from ..parallel.mesh import shard_batch
                     batch = shard_batch(batch, self.mesh)
+                self.profiler.step(step)
                 self.rng, step_rng = jax.random.split(self.rng)
                 t0 = time.time()
                 self.params, self.opt_state, metrics = self.step_fn(
                     self.params, self.opt_state, batch, step_rng)
                 metrics = jax.tree.map(np.asarray, metrics)
                 train_time = time.time() - t0
+                self.meters["data_time"].update(data_time)
+                self.meters["train_time"].update(train_time)
 
                 if metrics["is_nan"] > 0:
                     log.info("step %d: non-finite loss, batch skipped", step)
