@@ -69,6 +69,10 @@ class ModelConfig:
     # autocast + GradScaler, reference steps/trainer.py:45,90)
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # training attention: "dense" (materialised bias, supports attention-prob
+    # dropout) or "chunked" (online-softmax over key blocks, O(S*chunk)
+    # memory, no attention-prob dropout)
+    train_attn: str = "dense"
 
     # ---- derived quantities -------------------------------------------------
 

@@ -106,13 +106,19 @@ def _dropout(x, rate, rng):
 
 def apply_layer(p, x, bias, nhead: int, dropout: float = 0.0, rng=None):
     """One pre-norm layer: x + SA(LN(x)) then + FFN(LN(x)).
-    (reference transformer.py:266-388, norm_first path)."""
+    (reference transformer.py:266-388, norm_first path).
+
+    ``bias`` is either an additive-bias array for the dense path or a
+    callable attn_fn(q, k, v, dropout_rng) (e.g. chunked/flash attention)."""
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
     h = layer_norm(p["ln1"], x)
     q = _proj(h, p["attn"]["wq"], p["attn"]["bq"])
     k = _proj(h, p["attn"]["wk"], p["attn"]["bk"])
     v = _proj(h, p["attn"]["wv"], p["attn"]["bv"])
-    a = mha(q, k, v, bias, nhead, dropout_rate=dropout, rng=rngs[0])
+    if callable(bias):
+        a = bias(q, k, v, rngs[0])
+    else:
+        a = mha(q, k, v, bias, nhead, dropout_rate=dropout, rng=rngs[0])
     a = _proj(a, p["attn"]["out"]["w"], p["attn"]["out"]["b"])
     x = x + _dropout(a, dropout, rngs[1])
 

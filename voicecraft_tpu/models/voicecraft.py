@@ -189,7 +189,12 @@ def forward_train(params, cfg: ModelConfig, batch: TrainBatch,
 
     # --- joint forward (reference voicecraft.py:406-470 dec_forward) ---
     xy = jnp.concatenate([x_in, y_in], axis=1)
-    bias = segment_padding_bias(Sx + Sy, Sx, batch.x_lens, batch.y_lens)
+    if cfg.train_attn == "chunked":
+        from ..ops.flash_attention import chunked_attention
+        bias = lambda q, k, v, r: chunked_attention(
+            q, k, v, batch.x_lens, batch.y_lens, Sx, cfg.nhead)
+    else:
+        bias = segment_padding_bias(Sx + Sy, Sx, batch.x_lens, batch.y_lens)
     h = trm.apply_stack(params["decoder"], xy, bias, cfg.nhead,
                         dropout=cfg.trm_dropout, rng=rngs[3], remat=remat)
     h_y = h[:, Sx:]                                                 # [B, Sy, D]
