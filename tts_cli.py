@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--text-backend", default="auto",
                     choices=["auto", "phonemizer", "espeak", "grapheme"])
     ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--long", action="store_true",
+                    help="long-form mode: split the target transcript into "
+                         "sentences and synthesize each against the prompt "
+                         "(reference gradio_app.py 'Long TTS' mode)")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -83,8 +87,26 @@ def main():
                           temperature=args.temperature,
                           stop_repetition=args.stop_repetition,
                           silence_tokens=tuple(args.silence_tokens))
+
+    def synth(target_text, seed):
+        phones_i = tok.phonemize(
+            args.prompt_transcript.strip() + " " + target_text.strip())
+        xi = np.asarray(phones_to_ids(phones_i, phn2num), np.int32)
+        if args.sample_batch_size > 1:
+            return inference_tts_batch(params, cfg, xi, codes, scfg,
+                                       batch_size=args.sample_batch_size,
+                                       seed=seed)
+        return inference_tts(params, cfg, xi, codes, scfg, seed=seed)
+
     t0 = time.time()
-    if args.sample_batch_size > 1:
+    if args.long:
+        from voicecraft_tpu.utils.transcribe import split_sentences
+        sentences = split_sentences(args.target_transcript)
+        logging.info("long-form mode: %d sentences", len(sentences))
+        gens = [synth(s, args.seed + i)[1] for i, s in enumerate(sentences)]
+        gen = np.concatenate(gens, axis=1)
+        full = np.concatenate([codes, gen], axis=1)
+    elif args.sample_batch_size > 1:
         full, gen = inference_tts_batch(params, cfg, x, codes, scfg,
                                         batch_size=args.sample_batch_size,
                                         seed=args.seed)

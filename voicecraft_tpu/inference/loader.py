@@ -37,6 +37,28 @@ def load_model(path_or_preset: str, random_init: bool = False,
         from ..utils.convert import load_reference_bundle
         cfg, params, phn2num = load_reference_bundle(path_or_preset)
         return _cpu_dtype_fix(cfg), params, phn2num
+    if os.path.isdir(path_or_preset) and os.path.exists(
+            os.path.join(path_or_preset, "config.json")):
+        # HF-hub snapshot (reference PyTorchModelHubMixin serialisation,
+        # voicecraft.py:90-104): config.json + model.safetensors
+        from ..utils.convert import from_reference_state_dict
+        with open(os.path.join(path_or_preset, "config.json")) as f:
+            cfg = _cpu_dtype_fix(ModelConfig.from_dict(json.load(f)))
+        st = os.path.join(path_or_preset, "model.safetensors")
+        if os.path.exists(st):
+            from safetensors.numpy import load_file
+            sd = load_file(st)
+        else:
+            import torch
+            sd = torch.load(os.path.join(path_or_preset, "pytorch_model.bin"),
+                            map_location="cpu", weights_only=True)
+        params = from_reference_state_dict(sd, cfg)
+        phn2num = None
+        vfn = os.path.join(path_or_preset, "vocab.txt")
+        if os.path.exists(vfn):
+            from ..data.manifest import load_vocab
+            phn2num = load_vocab(vfn)
+        return cfg, params, phn2num
     # orbax checkpoint dir from training/trainer.py
     meta_fn = os.path.join(os.path.dirname(path_or_preset.rstrip("/")),
                            "meta_" + os.path.basename(
