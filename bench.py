@@ -39,8 +39,15 @@ def main():
                     help="measure aggregate multi-stream serving throughput "
                          "with N distinct-prompt lanes instead of "
                          "single-stream latency")
+    ap.add_argument("--train", action="store_true",
+                    help="measure training throughput (codec tokens/s/chip, "
+                         "forward+backward+ScaledAdam)")
     args = ap.parse_args()
     args.fp8 = not args.bf16
+
+    if args.train:
+        _bench_train(args)
+        return
 
 
     import jax
@@ -125,6 +132,44 @@ def main():
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 1.0, 3),
+    }))
+
+
+def _bench_train(args):
+    """Training step throughput: forward + backward + ScaledAdam update."""
+    import jax
+    import jax.numpy as jnp
+    from voicecraft_tpu.config import PRESETS
+    from voicecraft_tpu.models.voicecraft import init_params, param_count
+    from voicecraft_tpu.training.optim import scaled_adam, eden_schedule
+    from voicecraft_tpu.training.step import (
+        make_train_step, make_train_step_two_phase)
+    from __graft_entry__ import _synthetic_batch
+
+    cfg = PRESETS[args.preset]()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = scaled_adam(lr=eden_schedule(0.05, 3000, 4, 500))
+    opt_state = jax.jit(tx.init)(params)
+    big = param_count(params) > 4e8
+    make = make_train_step_two_phase if big else make_train_step
+    step = make(cfg, tx)
+    B = 4 if big else 16
+    batch = _synthetic_batch(cfg, B=B, Sx=160, y_len=480, seed=1)
+    t0 = time.perf_counter()
+    params, opt_state, m = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    ntok = float(np.asarray(m["effective_ntoken"]))
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        params, opt_state, m = step(params, opt_state, batch,
+                                    jax.random.PRNGKey(i))
+    _ = float(np.asarray(m["loss"]))
+    dt = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({
+        "metric": f"train_tokens_per_sec_{args.preset}",
+        "value": round(ntok / dt, 0),
+        "unit": "codec_tokens/s/chip",
+        "vs_baseline": 1.0,
     }))
 
 

@@ -188,6 +188,10 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     profile_start_step: int = 10
 
+    # memory: split grads/update into two executables (auto-enabled for
+    # >400M-param models on a single chip; see training/step.py)
+    two_phase_step: bool = False
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 

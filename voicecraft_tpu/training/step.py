@@ -89,3 +89,78 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         return params, opt_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_train_step_two_phase(cfg: ModelConfig,
+                              tx: optax.GradientTransformation,
+                              remat: bool = True, grad_accum: int = 1):
+    """Memory-lean variant: gradients and the optimizer update run as two
+    separate executables, so activations and the f32 optimizer temporaries
+    never coexist in HBM.  Enables single-chip 830M training on 16 GB
+    (the fused step needs params+grads+opt-state+activations at once).
+
+    Same semantics as make_train_step; ~one extra dispatch per step.
+    """
+
+    def grads_fn(params, batch: TrainBatch, rng):
+        if grad_accum <= 1:
+            def loss_fn(p):
+                out = forward_train(p, cfg, batch, rng=rng, remat=remat)
+                return out["loss"], out
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            return grads, loss, out
+        B = batch.x.shape[0]
+        assert B % grad_accum == 0, (B, grad_accum)
+        mb = jax.tree.map(
+            lambda x: x.reshape(grad_accum, B // grad_accum, *x.shape[1:]),
+            batch)
+        rngs = jax.random.split(rng, grad_accum)
+
+        def micro(carry, inp):
+            gsum, loss_sum, acc_sum, acc_cb, ntok = carry
+            b, r = inp
+
+            def loss_fn(p):
+                out = forward_train(p, cfg, b, rng=r, remat=remat)
+                return out["loss"], out
+            (l, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return (jax.tree.map(jnp.add, gsum, g), loss_sum + l,
+                    acc_sum + out["top10acc"],
+                    acc_cb + out["top10acc_by_codebook"],
+                    ntok + out["effective_ntoken"]), None
+
+        zero_g = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                              params)
+        K = cfg.n_codebooks
+        init = (zero_g, jnp.float32(0), jnp.float32(0),
+                jnp.zeros((K,), jnp.float32), jnp.int32(0))
+        (grads, loss, acc, acc_cb, ntok), _ = jax.lax.scan(
+            micro, init, (mb, rngs))
+        return grads, loss, {"top10acc": acc, "top10acc_by_codebook": acc_cb,
+                             "effective_ntoken": ntok}
+
+    def update_fn(params, opt_state, grads, loss):
+        ok = jnp.isfinite(loss)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        return keep(new_params, params), keep(new_opt_state, opt_state)
+
+    grads_jit = jax.jit(grads_fn)
+    update_jit = jax.jit(update_fn, donate_argnums=(0, 1, 2))
+
+    def step(params, opt_state, batch, rng):
+        grads, loss, out = grads_jit(params, batch, rng)
+        params, opt_state = update_jit(params, opt_state, grads, loss)
+        metrics = {
+            "loss": loss,
+            "top10acc": out["top10acc"],
+            "top10acc_by_codebook": out["top10acc_by_codebook"],
+            "effective_ntoken": out["effective_ntoken"],
+            "is_nan": jnp.logical_not(jnp.isfinite(loss)).astype(jnp.float32),
+        }
+        return params, opt_state, metrics
+
+    return step

@@ -105,8 +105,16 @@ class Trainer:
             from ..parallel.mesh import shard_params
             self.params = shard_params(self.params, mesh)
         self.opt_state = jax.jit(self.tx.init)(self.params)
-        self.step_fn = make_train_step(
-            mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps)
+        two_phase = tcfg.two_phase_step or (
+            param_count(self.params) > 4e8 and len(jax.devices()) == 1)
+        if two_phase:
+            from .step import make_train_step_two_phase
+            log.info("using two-phase train step (memory-lean)")
+            self.step_fn = make_train_step_two_phase(
+                mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps)
+        else:
+            self.step_fn = make_train_step(
+                mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps)
         self.rng = jax.random.PRNGKey(tcfg.seed)
 
         from ..utils.profiling import AverageMeter, StepProfiler
