@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--batch-frames", type=int, default=16000 * 60,
                     help="max audio samples per encode batch")
     ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--codec-bins", type=int, default=None,
+                    help="override codebook size for --random-init codecs "
+                         "(match the target model's audio_vocab_size)")
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
@@ -44,7 +47,13 @@ def main():
     from voicecraft_tpu.data.manifest import write_manifest_tree
     from voicecraft_tpu.utils import audio as au
 
-    ccfg, cparams = load_codec(args.codec, args.random_init)
+    if args.codec is None and args.codec_bins:
+        import jax
+        from voicecraft_tpu.models.encodec import EncodecConfig, init_encodec
+        ccfg = EncodecConfig(codebook_size=args.codec_bins)
+        cparams = init_encodec(ccfg, jax.random.PRNGKey(0))
+    else:
+        ccfg, cparams = load_codec(args.codec, args.random_init)
     tok = make_text_tokenizer(args.language, args.text_backend)
 
     ids = sorted(os.path.splitext(f)[0] for f in os.listdir(args.audio_dir)

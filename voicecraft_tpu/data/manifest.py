@@ -93,6 +93,14 @@ class ManifestDataset:
                 return None
         except Exception:
             return None
+        if int(y.max()) >= m.audio_vocab_size:
+            # out-of-vocab codes would gather NaN embeddings and silently
+            # NaN-skip every batch — fail loudly instead (codec/model
+            # vocabulary mismatch)
+            raise ValueError(
+                f"{ef}: codec code {int(y.max())} >= model audio_vocab_size "
+                f"{m.audio_vocab_size} — the dataset was encoded with an "
+                f"incompatible codec for this model config")
         if m.special_first:
             y = y + m.n_special
         x = np.asarray(x, np.int32)

@@ -68,11 +68,9 @@ def load_model(path_or_preset: str, random_init: bool = False,
         meta = json.load(f)
     cfg = _cpu_dtype_fix(ModelConfig.from_dict(meta["model_config"]))
     import orbax.checkpoint as ocp
-    target = {"params": init_params(cfg, jax.random.PRNGKey(0)),
-              "opt_state": None, "rng": jax.random.PRNGKey(0)}
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path_or_preset),
-                                 {"params": target["params"]})
+        # the trainer bundles params+opt_state+rng; restore all, keep params
+        restored = ckptr.restore(os.path.abspath(path_or_preset))
     phn2num = None
     vocab_fn = os.path.join(os.path.dirname(meta_fn), "vocab.txt")
     if os.path.exists(vocab_fn):
