@@ -1,0 +1,42 @@
+"""Continuous-batching engine: greedy per-request outputs must match the
+single-sample decode, including requests admitted mid-flight into freed
+lanes."""
+
+import dataclasses
+
+import numpy as np
+import jax
+
+from voicecraft_tpu.config import tiny_test
+from voicecraft_tpu.models.voicecraft import init_params, SamplingConfig
+from voicecraft_tpu.inference.tts import inference_tts
+from voicecraft_tpu.inference.engine import ContinuousBatcher
+
+
+def test_engine_matches_single_with_refill():
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(6)
+    K = cfg.n_codebooks
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+
+    # 5 requests of varying length into 2 lanes -> at least 3 refills
+    reqs = []
+    for i in range(5):
+        x = rng.integers(0, cfg.text_vocab_size, 6 + 2 * i).astype(np.int32)
+        y = rng.integers(0, cfg.audio_vocab_size,
+                         (K, 12 + 5 * i)).astype(np.int32)
+        reqs.append((x, y))
+
+    eng = ContinuousBatcher(params, cfg, lanes=2, x_pad=32, y_pad=64,
+                            gen_max=256, burst=16, scfg=scfg, seed=0)
+    ids = [eng.submit(x, y) for x, y in reqs]
+    results = eng.run()
+    assert set(results) == set(ids)
+
+    for rid, (x, y) in zip(ids, reqs):
+        full1, gen1 = inference_tts(params, cfg, x, y, scfg, seed=0)
+        fullE, genE = results[rid]
+        assert genE.shape == gen1.shape, (rid, genE.shape, gen1.shape)
+        np.testing.assert_array_equal(genE, gen1, err_msg=f"req {rid}")
+        np.testing.assert_array_equal(fullE[:, :y.shape[1]], y)

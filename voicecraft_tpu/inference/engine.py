@@ -1,0 +1,391 @@
+"""Continuous-batching TTS engine: lanes retire and refill mid-flight.
+
+serving.py decodes a fixed batch in lockstep — fine when requests arrive
+together, but a long request holds every lane hostage.  This engine runs the
+decoder in bursts of T steps; between bursts, finished lanes are retired and
+queued requests are prefilled into the freed lanes.  Each lane carries its
+own step counter, so cache writes use per-lane offsets (vmapped
+dynamic_update_slice) instead of serving.py's uniform write pointer.
+
+Per-lane slab layout (shared column space, per-lane validity):
+    [ text 0..x_len_b | pad .. x_pad | prompt 0..prefix_len_b | pad .. y_pad |
+      generated 0..t_b ]
+
+Burst granularity trades host round-trips (expensive over a TPU tunnel)
+against admission latency: T=32-64 steps ~= 0.6-1.3 s of audio per burst at
+830M.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..data import spans
+from ..models import transformer as trm
+from ..models.embedding import sine_table
+from ..models.voicecraft import (MAX_POS, SamplingConfig, _adjust_and_sample,
+                                 apply_heads, embed_audio_tokens)
+from ..ops import patterns
+from ..ops.attention import NEG_INF
+from ..ops.attention import decode_attention_multi
+
+
+class LaneState(NamedTuple):
+    active: jnp.ndarray       # [B] bool
+    t: jnp.ndarray            # [B] generated steps so far
+    x_lens: jnp.ndarray       # [B]
+    prefix_lens: jnp.ndarray  # [B]
+    codebook_eog: jnp.ndarray # [B, K]
+    consec: jnp.ndarray       # [B]
+    prev: jnp.ndarray         # [B]
+    finish_t: jnp.ndarray     # [B], -1 until the eog cascade completes
+    logits: jnp.ndarray       # [B, K, card] next-slot predictions
+    rng: jnp.ndarray
+
+
+def _empty_lanes(B: int, K: int, card: int, seed: int) -> LaneState:
+    return LaneState(
+        active=jnp.zeros((B,), bool),
+        t=jnp.zeros((B,), jnp.int32),
+        x_lens=jnp.ones((B,), jnp.int32),
+        prefix_lens=jnp.ones((B,), jnp.int32),
+        codebook_eog=jnp.zeros((B, K), bool),
+        consec=jnp.zeros((B,), jnp.int32),
+        prev=jnp.full((B,), -1, jnp.int32),
+        finish_t=jnp.full((B,), -1, jnp.int32),
+        logits=jnp.zeros((B, K, card), jnp.float32),
+        rng=jax.random.PRNGKey(seed))
+
+
+def _three_part_attention(q, k_cache, v_cache, k_recent, v_recent,
+                          k_new, v_new, nhead, x_lens, x_pad, prefix_lens,
+                          y_start, gen_valid_b, recent_valid):
+    """Decode attention over cache (frozen) + burst-recent buffer + self.
+
+    q [B,1,D]; k_cache/v_cache [B,S,H,Dh]; k_recent/v_recent [B,R,H,Dh];
+    k_new/v_new [B,1,H,Dh].  gen_valid_b [B]: generated cols in the cache
+    valid in [y_start, y_start + gen_valid_b); recent_valid: scalar — recent
+    cols [0, recent_valid) valid.
+    """
+    B, S_max, H, Dh = k_cache.shape
+    R = k_recent.shape[1]
+    qh = q.reshape(B, 1, H, Dh)
+    scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
+
+    lg_c = jnp.einsum("bqhd,bkhd->bhqk", qh, k_cache,
+                      preferred_element_type=jnp.float32) * scale
+    j = jnp.arange(S_max)[None, :]
+    valid_c = ((j < x_lens[:, None])
+               | ((j >= x_pad) & (j < x_pad + prefix_lens[:, None]))
+               | ((j >= y_start) & (j < y_start + gen_valid_b[:, None])))
+    lg_c = jnp.where(valid_c[:, None, None, :], lg_c, NEG_INF)
+
+    lg_r = jnp.einsum("bqhd,bkhd->bhqk", qh, k_recent,
+                      preferred_element_type=jnp.float32) * scale
+    jr = jnp.arange(R)[None, None, None, :]
+    lg_r = jnp.where(jr < recent_valid, lg_r, NEG_INF)
+
+    lg_s = jnp.einsum("bqhd,bkhd->bhqk", qh, k_new,
+                      preferred_element_type=jnp.float32) * scale
+
+    allq = jnp.concatenate([lg_c, lg_r, lg_s], axis=-1)
+    probs = jax.nn.softmax(allq, axis=-1).astype(v_cache.dtype)
+    out = (jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S_max], v_cache,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhqk,bkhd->bqhd", probs[..., S_max:S_max + R],
+                        v_recent, preferred_element_type=jnp.float32)
+           + jnp.einsum("bhqk,bkhd->bqhd", probs[..., -1:], v_new,
+                        preferred_element_type=jnp.float32)).astype(v_cache.dtype)
+    return out.reshape(B, 1, H * Dh)
+
+
+def _lane_decode_step(params, x_t, cache, recent, j_cur, nhead, x_lens,
+                      x_pad, prefix_lens, y_start, gen_valid_b):
+    """One burst step: cache is READ-ONLY; new k/v go to the recent buffer
+    at the uniform in-burst index ``j_cur`` (cheap dynamic_update_slice —
+    per-lane scatters into the big slab were ~6x slower)."""
+    L, _, B, S_max, H, Dh = cache.shape
+
+    def body(carry, scanned):
+        h_in = carry
+        layer_p, layer_cache, layer_recent = scanned
+        h = trm.layer_norm(layer_p["ln1"], h_in)
+        q = trm._proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
+        k = trm._proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
+        v = trm._proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        k_new = k.reshape(B, 1, H, Dh)
+        v_new = v.reshape(B, 1, H, Dh)
+        a = _three_part_attention(
+            q, layer_cache[0].astype(q.dtype), layer_cache[1].astype(q.dtype),
+            layer_recent[0].astype(q.dtype), layer_recent[1].astype(q.dtype),
+            k_new, v_new, nhead, x_lens, x_pad, prefix_lens, y_start,
+            gen_valid_b, j_cur)
+        a = trm._proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
+        x1 = h_in + a
+        h2 = trm.layer_norm(layer_p["ln2"], x1)
+        h2 = trm._proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
+        h2 = jax.nn.relu(h2)
+        h2 = trm._proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        return x1 + h2, jnp.stack([k_new, v_new], 0).astype(recent.dtype)
+
+    x, kv_new = jax.lax.scan(body, x_t,
+                             (params["layers"], cache, recent))
+    # kv_new [L, 2, B, 1, H, Dh]: uniform in-burst write
+    recent = jax.lax.dynamic_update_slice(
+        recent, kv_new, (0, 0, 0, j_cur, 0, 0))
+    return trm.layer_norm(params["final_ln"], x), recent
+
+
+def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
+                  y_pad: int, gen_max: int, burst: int,
+                  scfg: SamplingConfig):
+    """Jitted: run ``burst`` decode steps for all active lanes.
+
+    Returns fn(params, cache, lanes, gen_buf [B, gen_max, K])
+      -> (cache, lanes, gen_buf)."""
+    K, D = cfg.n_codebooks, cfg.d_model
+    B = batch_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cap_mult = cfg.encodec_sr // 5
+    y_start = x_pad + y_pad
+    pe_np = sine_table(MAX_POS, D)
+
+    sample_lane = jax.vmap(
+        lambda rng, lg, eog, cng, cs, pt, yp, xl: _adjust_and_sample(
+            cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+
+    def burst_fn(params, cache, lanes: LaneState, gen_buf):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        alpha_a = params["alpha_audio"].astype(dtype)
+        L_, _, B_, S_, H_, Dh_ = cache.shape
+        t_start = lanes.t                      # frozen cache-validity bound
+        recent = jnp.zeros((L_, 2, B_, burst, H_, Dh_), cache.dtype)
+
+        def step(carry, j):
+            recent, s, gen_buf = carry
+            rng, step_rng = jax.random.split(s.rng)
+            lane_rngs = jax.random.split(step_rng, B)
+            y_pos = s.prefix_lens + s.t
+            samples, new_eog, consec, prev = sample_lane(
+                lane_rngs, s.logits, s.codebook_eog, s.t, s.consec,
+                s.prev, y_pos, s.x_lens)
+            live = s.active & jnp.logical_not(jnp.all(s.codebook_eog, 1))
+            samples = jnp.where(live[:, None], samples, cfg.empty_token)
+            new_eog = jnp.where(live[:, None], new_eog, s.codebook_eog)
+            consec = jnp.where(live, consec, s.consec)
+            prev = jnp.where(live, prev, s.prev)
+
+            lane_done = jnp.all(new_eog, axis=1) & live
+            finish_t = jnp.where(lane_done, s.t, s.finish_t)
+
+            # record per-lane at row t; restore old rows for non-live lanes
+            new_gen = jax.vmap(
+                lambda g, sm, t: jax.lax.dynamic_update_slice(
+                    g, sm[None], (t, 0)))(gen_buf, samples,
+                                          jnp.where(live, s.t, 0))
+            gen_buf = jnp.where(live[:, None, None], new_gen, gen_buf)
+
+            feed_emb = embed_audio_tokens(
+                params["audio_emb"], samples[:, :, None])[:, 0].astype(dtype)
+            feed = feed_emb + alpha_a * jnp.take(
+                pe, jnp.minimum(y_pos, MAX_POS - 1), axis=0)
+            h, recent = _lane_decode_step(
+                params["decoder"], feed[:, None, :], cache, recent, j,
+                cfg.nhead, s.x_lens, x_pad, s.prefix_lens, y_start, t_start)
+            logits = apply_heads(params["heads"], h)[:, 0]
+            logits = jnp.where(live[:, None, None], logits, s.logits)
+
+            t = jnp.where(live, jnp.minimum(s.t + 1, gen_max - 1), s.t)
+            new_s = LaneState(s.active, t, s.x_lens, s.prefix_lens, new_eog,
+                              consec, prev, finish_t, logits, rng)
+            return (recent, new_s, gen_buf), None
+
+        (recent, lanes, gen_buf), _ = jax.lax.scan(
+            step, (recent, lanes, gen_buf), jnp.arange(burst))
+
+        # flush the burst-recent buffer into the big slab: per-lane offset,
+        # once per burst (amortised)
+        def flush_lane(cache_b, rec_b, t0):
+            return jax.lax.dynamic_update_slice(
+                cache_b, rec_b, (0, 0, y_start + t0, 0, 0))
+        cache = jax.vmap(flush_lane, in_axes=(2, 2, 0), out_axes=2)(
+            cache, recent, t_start)
+        return cache, lanes, gen_buf
+
+    return jax.jit(burst_fn, donate_argnums=(1, 3))
+
+
+def make_prefill_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
+                    s_max: int):
+    """Jitted: prefill one request and write its k/v into lane ``lane``.
+
+    fn(params, cache, lane, x_tokens [1,x_pad], x_len, y_prefix [1,K,y_pad],
+       prefix_len) -> (cache, logits0 [K, card])."""
+    K, D = cfg.n_codebooks, cfg.d_model
+    H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    dtype = jnp.dtype(cfg.compute_dtype)
+    Sp = x_pad + y_pad
+    pe_np = sine_table(MAX_POS, D)
+
+    def prefill(params, cache, lane, x_tokens, x_len, y_prefix, prefix_len):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
+        x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
+        y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
+        y_in = y_emb + params["alpha_audio"].astype(dtype) * pe[:y_pad]
+        xy = jnp.concatenate([x_in, y_in], axis=1)
+        jj = jnp.arange(Sp)
+        key_valid = jnp.where(jj < x_pad, jj < x_len, jj < x_pad + prefix_len)
+        allowed = (jj[None, :] <= jj[:, None]) & key_valid[None, :]
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+        lane_cache = trm.init_kv_cache(L, 1, s_max, H, Dh, dtype)
+        h, lane_cache = trm.prefill(params["decoder"], xy, bias, lane_cache,
+                                    cfg.nhead)
+        h_last = jax.lax.dynamic_slice_in_dim(h, x_pad + prefix_len - 1, 1, 1)
+        logits0 = apply_heads(params["heads"], h_last)[0, 0]
+        cache = jax.lax.dynamic_update_slice(
+            cache, lane_cache, (0, 0, lane, 0, 0, 0))
+        return cache, logits0
+
+    return jax.jit(prefill, donate_argnums=(1,))
+
+
+@dataclass
+class ContinuousBatcher:
+    """Host-side orchestrator: admit requests into free lanes between bursts.
+
+    Usage:
+        eng = ContinuousBatcher(params, cfg, lanes=8)
+        ids = [eng.submit(x_tokens, y_codes) for ...]
+        results = eng.run()           # {id: (full_codes, gen_codes)}
+    """
+
+    params: Any
+    cfg: ModelConfig
+    lanes: int = 8
+    x_pad: int = 128
+    y_pad: int = 192
+    gen_max: int = 768
+    burst: int = 48
+    scfg: SamplingConfig = field(default_factory=SamplingConfig)
+    seed: int = 1
+
+    def __post_init__(self):
+        cfg = self.cfg
+        K = cfg.n_codebooks
+        # +burst slack: the burst flush writes a full recent window
+        self._s_max = self.x_pad + self.y_pad + self.gen_max + self.burst
+        self._burst_fn = make_burst_fn(
+            cfg, batch_size=self.lanes, x_pad=self.x_pad, y_pad=self.y_pad,
+            gen_max=self.gen_max, burst=self.burst, scfg=self.scfg)
+        self._prefill_fn = make_prefill_fn(
+            cfg, x_pad=self.x_pad, y_pad=self.y_pad, s_max=self._s_max)
+        self._cache = trm.init_kv_cache(
+            cfg.num_decoder_layers, self.lanes, self._s_max, cfg.nhead,
+            cfg.head_dim, jnp.dtype(cfg.compute_dtype))
+        self._lanes = _empty_lanes(self.lanes, K, cfg.card, self.seed)
+        self._gen_buf = jnp.zeros((self.lanes, self.gen_max, K), jnp.int32)
+        self._queue: List[Tuple[int, np.ndarray, np.ndarray]] = []
+        self._lane_req: List[Optional[int]] = [None] * self.lanes
+        self._req_y: Dict[int, np.ndarray] = {}
+        self._results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._next_id = 0
+
+    def submit(self, x_tokens: np.ndarray, y_codes: np.ndarray) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, np.asarray(x_tokens, np.int32),
+                            np.asarray(y_codes, np.int32)))
+        self._req_y[rid] = np.asarray(y_codes, np.int32)
+        return rid
+
+    # ---- internals -----------------------------------------------------------
+
+    def _admit(self):
+        cfg = self.cfg
+        K = cfg.n_codebooks
+        lanes = self._lanes
+        active = np.array(lanes.active)
+        for b in range(self.lanes):
+            if active[b] or not self._queue:
+                continue
+            rid, x, y = self._queue.pop(0)
+            prefix = spans.compose_tts_prefix(
+                y + (cfg.n_special if cfg.special_first else 0), cfg)
+            assert len(x) <= self.x_pad and prefix.length <= self.y_pad, \
+                (len(x), prefix.length, self.x_pad, self.y_pad)
+            xt = np.full((1, self.x_pad), cfg.text_pad_token, np.int32)
+            xt[0, :len(x)] = x
+            yt = np.full((1, K, self.y_pad), cfg.empty_token, np.int32)
+            yt[0, :, :prefix.length] = prefix.tokens
+            self._cache, logits0 = self._prefill_fn(
+                self.params, self._cache, b, jnp.asarray(xt),
+                jnp.asarray(len(x), jnp.int32), jnp.asarray(yt),
+                jnp.asarray(prefix.length, jnp.int32))
+            L = lanes
+            lanes = LaneState(
+                active=L.active.at[b].set(True),
+                t=L.t.at[b].set(0),
+                x_lens=L.x_lens.at[b].set(len(x)),
+                prefix_lens=L.prefix_lens.at[b].set(prefix.length),
+                codebook_eog=L.codebook_eog.at[b].set(False),
+                consec=L.consec.at[b].set(0),
+                prev=L.prev.at[b].set(-1),
+                finish_t=L.finish_t.at[b].set(-1),
+                logits=L.logits.at[b].set(logits0),
+                rng=L.rng)
+            self._lane_req[b] = rid
+            active[b] = True
+        self._lanes = lanes
+
+    def _retire(self):
+        lanes = self._lanes
+        finish_t = np.asarray(lanes.finish_t)
+        eog_all = np.asarray(jnp.all(lanes.codebook_eog, axis=1))
+        t = np.asarray(lanes.t)
+        active = np.asarray(lanes.active)
+        gen_np = None
+        K = self.cfg.n_codebooks
+        for b in range(self.lanes):
+            rid = self._lane_req[b]
+            if rid is None or not active[b]:
+                continue
+            done = eog_all[b] or t[b] >= self.gen_max - 1
+            if not done:
+                continue
+            if gen_np is None:
+                gen_np = np.asarray(self._gen_buf)
+            n = int(finish_t[b]) + 1 if finish_t[b] >= 0 else int(t[b]) + 1
+            rows = gen_np[b, :n]                 # [n, K]
+            if rows.shape[0] <= K:
+                gen = np.zeros((K, 0), np.int32)
+            else:
+                gen = patterns.unshift_span(rows.T).astype(np.int32)
+            y = self._req_y[rid]
+            full = np.concatenate([y, gen], axis=1)
+            if self.cfg.special_first:
+                full = full - self.cfg.n_special
+                gen = gen - self.cfg.n_special
+            self._results[rid] = (full, gen)
+            self._lane_req[b] = None
+            self._lanes = self._lanes._replace(
+                active=self._lanes.active.at[b].set(False))
+
+    def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Drain the queue; returns {request_id: (full_codes, gen_codes)}."""
+        while self._queue or any(r is not None for r in self._lane_req):
+            self._admit()
+            self._cache, self._lanes, self._gen_buf = self._burst_fn(
+                self.params, self._cache, self._lanes, self._gen_buf)
+            self._retire()
+        out, self._results = self._results, {}
+        return out
