@@ -48,14 +48,21 @@ class ServingState(NamedTuple):
 
 
 def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
-                          y_pad: int, gen_max: int, scfg: SamplingConfig):
+                          y_pad: int, gen_max: int, scfg: SamplingConfig,
+                          kv_dtype: Optional[str] = None):
     """Returns jitted fn(params, x_tokens [B,x_pad], x_lens [B],
     y_prefix [B,K,y_pad], prefix_lens [B], rng)
-      -> (gen_buf [gen_max,B,K], finish_t [B])."""
+      -> (gen_buf [gen_max,B,K], finish_t [B]).
+
+    ``kv_dtype='float8_e4m3fn'`` stores the KV slab in fp8 — multi-lane
+    decode reads the whole [B, S_max] slab every step, so this halves the
+    dominant HBM traffic at a small attention-precision cost (serving mode).
+    """
     K, D = cfg.n_codebooks, cfg.d_model
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
     B = batch_size
     dtype = jnp.dtype(cfg.compute_dtype)
+    cache_dtype = jnp.dtype(kv_dtype) if kv_dtype else dtype
     cap_mult = cfg.encodec_sr // 5
     y_start = x_pad + y_pad
     s_max = y_start + gen_max
@@ -83,7 +90,7 @@ def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
         allowed = (jj[None, :] <= jj[:, None])[None] & key_valid[:, None, :]
         bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
 
-        cache = trm.init_kv_cache(L, B, s_max, H, Dh, dtype)
+        cache = trm.init_kv_cache(L, B, s_max, H, Dh, cache_dtype)
         h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)
         last_idx = x_pad + prefix_lens - 1                   # [B]
         h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)
