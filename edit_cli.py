@@ -57,7 +57,6 @@ def main():
     _jax_setup(args.platform)
     logging.basicConfig(level=logging.INFO)
 
-    import jax.numpy as jnp
     from voicecraft_tpu.inference.loader import load_model, load_codec
     from voicecraft_tpu.inference.editing import (
         inference_edit, get_span, get_mask_interval)

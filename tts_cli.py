@@ -12,7 +12,6 @@ Smoke mode (no checkpoints): --model giga330M --random-init
 
 import argparse
 import logging
-import sys
 import time
 
 import numpy as np
@@ -53,7 +52,6 @@ def main():
     _jax_setup(args.platform)
     logging.basicConfig(level=logging.INFO)
 
-    import jax.numpy as jnp
     from voicecraft_tpu.inference.loader import load_model, load_codec
     from voicecraft_tpu.inference.tts import inference_tts, inference_tts_batch
     from voicecraft_tpu.models.voicecraft import SamplingConfig

@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 import shutil
 import subprocess
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 
 def split_phones(phonemized: str, word_sep: str = "_",

@@ -18,9 +18,7 @@ against admission latency: T=32-64 steps ~= 0.6-1.3 s of audio per burst at
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -35,7 +33,6 @@ from ..models.voicecraft import (MAX_POS, SamplingConfig, _adjust_and_sample,
                                  apply_heads, embed_audio_tokens)
 from ..ops import patterns
 from ..ops.attention import NEG_INF
-from ..ops.attention import decode_attention_multi
 
 
 class LaneState(NamedTuple):

@@ -28,7 +28,6 @@ embeddings with learnable alpha, pre-norm transformer decoder, per-codebook
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -36,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.attention import segment_padding_bias, causal_padding_bias, NEG_INF
+from ..ops.attention import segment_padding_bias, NEG_INF
 from ..ops.sampling import sample as sample_tokens
 from .embedding import sine_table, init_token_embedding
 from . import transformer as trm

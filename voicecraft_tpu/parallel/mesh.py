@@ -10,7 +10,6 @@ sync is implicit in jit's partitioning of the batch dimension.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax

@@ -17,7 +17,6 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

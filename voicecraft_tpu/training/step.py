@@ -8,7 +8,6 @@ unsharded outputs of the jitted function.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ resampling.  Handles 16/24/32-bit PCM and float32 WAV.
 
 from __future__ import annotations
 
-import math
 import wave
 from fractions import Fraction
 from typing import Tuple
