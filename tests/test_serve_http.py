@@ -1,0 +1,116 @@
+"""HTTP serving app regression test: spin the real server, hit /healthz,
+/tts (two concurrent requests through the micro-batcher), and /edit."""
+
+import base64
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEMO_WAV = "/root/reference/demo/5895_34622_000026_000002.wav"
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server():
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve_cli.py"),
+         "--model", "tiny_test", "--random-init",
+         "--text-backend", "grapheme", "--platform", "cpu",
+         "--port", str(port), "--batch-window-ms", "500"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=REPO)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for _ in range(120):
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stdout.read().decode()[-2000:])
+            try:
+                urllib.request.urlopen(base + "/healthz", timeout=2)
+                break
+            except Exception:
+                time.sleep(1)
+        else:
+            raise TimeoutError("server did not come up")
+        yield base
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=10)
+
+
+def _post(base, path, payload, timeout=420):
+    req = urllib.request.Request(base + path,
+                                 data=json.dumps(payload).encode(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _prompt_b64():
+    if os.path.exists(DEMO_WAV):
+        # re-encode the float32 demo wav as 16-bit pcm via our own utils
+        from voicecraft_tpu.utils import audio as au
+        import io, wave
+        w = au.load_audio(DEMO_WAV, 16000)[:, :32000]
+    else:
+        t = np.arange(32000) / 16000.0
+        w = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    import io, wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(np.round(np.clip(w[0], -1, 1) * 32767)
+                       .astype("<i2").tobytes())
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok" and info["n_codebooks"] == 4
+
+
+def test_concurrent_tts_and_edit(server):
+    b64 = _prompt_b64()
+    results = [None, None]
+
+    def run(i, text):
+        results[i] = _post(server, "/tts", {
+            "prompt_wav_b64": b64, "prompt_end_sec": 1.5,
+            "prompt_transcript": "a test prompt",
+            "target_transcript": text, "top_k": 15,
+            "silence_tokens": [5, 7]})
+
+    ths = [threading.Thread(target=run, args=(i, t))
+           for i, t in enumerate(["hello world", "another request"])]
+    [t.start() for t in ths]
+    [t.join(timeout=420) for t in ths]
+    for r in results:
+        assert r is not None and "wav_b64" in r and r["gen_sec"] > 0
+
+    align = [{"Begin": 0.1, "End": 0.5, "Label": "a", "Type": "words"},
+             {"Begin": 0.5, "End": 1.0, "Label": "test", "Type": "words"},
+             {"Begin": 1.0, "End": 1.6, "Label": "prompt", "Type": "words"}]
+    r = _post(server, "/edit", {
+        "wav_b64": b64, "orig_transcript": "a test prompt",
+        "target_transcript": "a great prompt", "edit_type": "substitution",
+        "alignment": align, "top_k": 15, "silence_tokens": [5, 7]})
+    assert "wav_b64" in r and len(r["wav_b64"]) > 1000
