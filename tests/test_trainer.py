@@ -105,3 +105,21 @@ def test_train_loop_and_resume(tmp_path):
     s1 = np.asarray(tr.opt_state.step)
     s2 = np.asarray(tr2.opt_state.step)
     assert s1 == s2 and s1 > 0
+
+
+def test_profiler_and_meters(tmp_path):
+    """jax.profiler trace capture around training steps (SURVEY §5)."""
+    from voicecraft_tpu.utils.profiling import StepProfiler, AverageMeter
+    m = AverageMeter("t")
+    for v in (1.0, 3.0):
+        m.update(v)
+    assert m.avg == 2.0 and m.val == 3.0
+
+    import jax.numpy as jnp
+    prof = StepProfiler(str(tmp_path / "trace"), start=1, stop=2)
+    for step in range(4):
+        prof.step(step)
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    prof.close()
+    import glob
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)

@@ -23,7 +23,11 @@ def main():
                     help=".pth bundle, orbax ckpt dir, or preset name")
     ap.add_argument("--codec", default=None, help="audiocraft .th checkpoint")
     ap.add_argument("--prompt-wav", required=True)
-    ap.add_argument("--prompt-transcript", required=True)
+    ap.add_argument("--prompt-transcript", default=None,
+                    help="transcript of the prompt; omit to transcribe with "
+                         "--asr-model (reference gradio_app.py whisper path)")
+    ap.add_argument("--asr-model", default=None,
+                    help="local Whisper snapshot dir for auto-transcription")
     ap.add_argument("--target-transcript", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--prompt-end-sec", type=float, default=-1.0,
@@ -61,6 +65,13 @@ def main():
 
     cfg, params, phn2num = load_model(args.model, args.random_init, args.seed)
     ccfg, cparams = load_codec(args.codec, args.random_init, args.seed)
+
+    if args.prompt_transcript is None:
+        from voicecraft_tpu.utils.transcribe import make_transcriber
+        wav0 = au.load_audio(args.prompt_wav, 16000)
+        args.prompt_transcript = make_transcriber(args.asr_model).transcribe(
+            wav0, 16000)
+        logging.info("transcribed prompt: %s", args.prompt_transcript)
 
     tok = make_text_tokenizer(args.language, args.text_backend)
     # reference inference_tts_scale.py:45-51: phonemize combined transcript
