@@ -1,0 +1,33 @@
+"""Checkpoint interop: export to reference .pth / HF snapshot and reload —
+params must round-trip exactly through both formats."""
+
+import subprocess
+import sys
+import os
+
+import numpy as np
+import jax
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_export(out, fmt):
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "export_cli.py"),
+         "--ckpt", "tiny_test", "--random-init", "--out", out,
+         "--format", fmt, "--platform", "cpu"],
+        check=True, capture_output=True, cwd=REPO)
+
+
+@pytest.mark.parametrize("fmt", ["pth", "hf"])
+def test_export_reload_exact(tmp_path, fmt):
+    from voicecraft_tpu.inference.loader import load_model
+    out = str(tmp_path / ("m.pth" if fmt == "pth" else "hf_snap"))
+    _run_export(out, fmt)
+    cfg1, p1, _ = load_model("tiny_test", random_init=True, seed=0)
+    cfg2, p2, _ = load_model(out)
+    assert cfg1.d_model == cfg2.d_model
+    assert cfg1.card == cfg2.card
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
