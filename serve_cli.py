@@ -39,7 +39,7 @@ log = logging.getLogger("voicecraft_tpu.serve")
 
 INDEX_HTML = """<!doctype html><html><head><title>voicecraft-tpu</title>
 <style>body{font-family:sans-serif;max-width:48rem;margin:2rem auto;padding:0 1rem}
-textarea,input{width:100%%;margin:.25rem 0}button{padding:.5rem 1rem}</style></head>
+textarea,input{width:100%;margin:.25rem 0}button{padding:.5rem 1rem}</style></head>
 <body><h2>voicecraft-tpu</h2>
 <p>Zero-shot TTS: upload a voice prompt wav, its transcript, and the text to
 synthesize in that voice.</p>
