@@ -425,3 +425,64 @@ def test_get_span_parity():
         ref_edit.get_span("one two three", "one two", "deletion")
     with pytest.raises(RuntimeError):
         get_span("one two three", "one two", "deletion")
+
+
+def test_tts_greedy_parity_eos_variant(ref_vc):
+    """The TTS-enhanced model family ends with eos (eos>0, n_special=4,
+    reduced_eog — reference z_scripts/e830M.sh:56-60).  Greedy parity with
+    the same tie-aware protocol."""
+    import torch
+    from voicecraft_tpu.config import tiny_test
+    from voicecraft_tpu.utils.convert import from_reference_state_dict
+    from voicecraft_tpu.inference.tts import inference_tts
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    from models import voicecraft as ref_module
+
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32",
+                              eos=131, n_special=4, reduced_eog=1)
+    ref = make_ref_model(ref_vc, cfg, seed=2)
+    params = from_reference_state_dict(ref.state_dict(), cfg)
+
+    rng = np.random.default_rng(13)
+    K = cfg.n_codebooks
+    Lx, T = 7, 20
+    x = rng.integers(0, cfg.text_vocab_size, (1, Lx))
+    y = rng.integers(0, cfg.audio_vocab_size, (1, T, K))
+    sil = [5, 7]
+
+    step_logits = []
+    orig_topk = ref_module.topk_sampling
+
+    def rec(logits, **kw):
+        step_logits.append(logits.detach().clone().numpy())
+        return orig_topk(logits, **kw)
+
+    ref_module.topk_sampling = rec
+    try:
+        with torch.no_grad():
+            _, gen_ref = ref.inference_tts(
+                torch.from_numpy(x), torch.tensor([Lx]), torch.from_numpy(y),
+                top_k=1, top_p=1.0, temperature=1.0, stop_repetition=3,
+                kvcache=1, silence_tokens=sil)
+    finally:
+        ref_module.topk_sampling = orig_topk
+    gen_ref = gen_ref[0].numpy()
+
+    scfg = SamplingConfig(top_k=1, stop_repetition=3, silence_tokens=(5, 7))
+    _, gen = inference_tts(params, cfg, x[0].astype(np.int32),
+                           y[0].T.astype(np.int32), scfg, seed=0)
+
+    steps_ref = _delayed_steps(gen_ref, cfg)
+    steps_my = _delayed_steps(gen, cfg)
+    matched = 0
+    for j in range(min(len(steps_ref), len(steps_my))):
+        if np.array_equal(steps_ref[j], steps_my[j]):
+            matched += 1
+            continue
+        top2 = np.sort(step_logits[j], axis=-1)[:, -2:]
+        margin = float(np.min(top2[:, 1] - top2[:, 0]))
+        assert margin < 1e-3, (j, margin)
+        break
+    else:
+        assert steps_ref.shape == steps_my.shape
+    assert matched >= 10, matched
