@@ -204,7 +204,12 @@ class TrainConfig:
 # ---- presets ----------------------------------------------------------------
 
 def giga330M() -> ModelConfig:
-    """330M model (reference README.md:32; pretrained giga330M config)."""
+    """Small-model preset (reference README.md:32 'giga330M' family).
+
+    Note: presets matter only for random-init runs — real checkpoints carry
+    their exact config (args.pkl / config.json) which the loader uses.  The
+    published giga330M's dims aren't in the reference repo; this preset is
+    the d_model=1024 reading (~220M transformer params)."""
     return ModelConfig(
         d_model=1024,
         audio_embedding_dim=1024,
