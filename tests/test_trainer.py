@@ -123,3 +123,16 @@ def test_profiler_and_meters(tmp_path):
     prof.close()
     import glob
     assert glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+
+
+def test_batcher_respects_token_budget():
+    """Each batch's padded token footprint stays within the budget (bucket
+    cap x bucket boundary >= max item length in the bucket)."""
+    from voicecraft_tpu.data.manifest import DynamicBatcher
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(100, 1000, size=500).tolist()
+    budget = 4000
+    b = DynamicBatcher(lengths, budget, num_buckets=6, seed=3)
+    for batch in b.epoch_batches(0):
+        max_len = max(lengths[i] for i in batch)
+        assert len(batch) * max_len <= budget * 1.05, (len(batch), max_len)
