@@ -90,8 +90,9 @@ def test_train_loop_and_resume(tmp_path):
     finite = [h[1] for h in hist if np.isfinite(h[1])]
     assert finite and finite[-1] < finite[0] * 1.05
 
-    # checkpoint exists and meta is readable
+    # checkpoint exists and meta is readable; vocab copied for inference
     assert os.path.isdir(os.path.join(tcfg.exp_dir, "ckpt_latest"))
+    assert os.path.exists(os.path.join(tcfg.exp_dir, "vocab.txt"))
     meta = json.load(open(os.path.join(tcfg.exp_dir, "meta_latest.json")))
     assert meta["progress"]["step"] == tr.progress["step"]
 

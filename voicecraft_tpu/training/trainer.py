@@ -72,6 +72,14 @@ class Trainer:
         except FileNotFoundError:
             self.valid_ds = None
 
+        # copy the phoneme vocab next to the checkpoints so they are
+        # self-contained for inference (reference gigaspeech.py:31)
+        if jax.process_index() == 0:
+            import shutil
+            src_vocab = os.path.join(tcfg.dataset_dir, "vocab.txt")
+            if os.path.exists(src_vocab):
+                shutil.copy(src_vocab, os.path.join(tcfg.exp_dir, "vocab.txt"))
+
         n_hosts = jax.process_count()
         host = jax.process_index()
         self.batcher = DynamicBatcher(
