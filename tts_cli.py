@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--prompt-end-sec", type=float, default=-1.0,
                     help="cut the prompt at this time (reference cut_off_sec)")
+    ap.add_argument("--mfa-csv", default=None,
+                    help="MFA alignment CSV: snap --prompt-end-sec to a word "
+                         "boundary and truncate the prompt transcript "
+                         "(reference tts_demo.py find_closest_word_boundary)")
+    ap.add_argument("--margin", type=float, default=0.04)
+    ap.add_argument("--cutoff-tolerance", type=float, default=1.0)
     # sampling defaults per reference README.md:24 (post 03/2025)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=1.0)
@@ -72,6 +78,24 @@ def main():
         args.prompt_transcript = make_transcriber(args.asr_model).transcribe(
             wav0, 16000)
         logging.info("transcribed prompt: %s", args.prompt_transcript)
+
+    if args.mfa_csv and args.prompt_end_sec > 0:
+        import csv as _csv
+        from voicecraft_tpu.inference.tts import find_closest_word_boundary
+        with open(args.mfa_csv) as f:
+            rdr = _csv.DictReader(f)
+            rows = [(r["Begin"], r["End"]) for r in rdr]
+        snapped, idx = find_closest_word_boundary(
+            rows, args.prompt_end_sec, args.margin, args.cutoff_tolerance)
+        if snapped is not None:
+            logging.info("prompt cutoff snapped: %.2fs -> %.3fs",
+                         args.prompt_end_sec, snapped)
+            args.prompt_end_sec = snapped
+            # truncate the prompt transcript to the words before the cutoff
+            # (reference tts_demo.py:173)
+            words = args.prompt_transcript.split(" ")
+            n_words = min(idx + 1, len(words))
+            args.prompt_transcript = " ".join(words[:n_words])
 
     tok = make_text_tokenizer(args.language, args.text_backend)
     # reference inference_tts_scale.py:45-51: phonemize combined transcript

@@ -25,6 +25,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def find_closest_word_boundary(rows, cut_off_sec: float, margin: float = 0.04,
+                               cutoff_tolerance: float = 1.0):
+    """Snap a prompt cutoff time to an alignment boundary.
+
+    Behavioural port of reference tts_demo.py:144-165: rows are (Begin, End)
+    tuples from the MFA CSV *in file order* (the reference scans every row,
+    words and phones alike).  Prefers a boundary within ``cutoff_tolerance``
+    of the requested time that has at least ``margin`` of silence before the
+    next row, placing the cut 2/3 of the margin into the gap; otherwise the
+    first boundary at/after the requested time.
+
+    Returns (cutoff_sec, row_index) — row_index is None if no boundary found.
+    """
+    cutoff_time = None
+    cutoff_index = None
+    for i, (_, end) in enumerate(rows):
+        end = float(end)
+        if end >= cut_off_sec and cutoff_time is None:
+            cutoff_time = end
+            cutoff_index = i
+        if (end >= cut_off_sec and end < cut_off_sec + cutoff_tolerance
+                and i + 1 < len(rows)
+                and float(rows[i + 1][0]) - end >= margin):
+            return end + margin * 2 / 3, i
+    return cutoff_time, cutoff_index
+
+
 @lru_cache(maxsize=32)
 def _get_loop(cfg: ModelConfig, is_tts: bool, x_pad: int, y_pad: int,
               gen_max: int, scfg: SamplingConfig, max_spans: int):
