@@ -85,11 +85,12 @@ def main():
                             args.edit_type)
     start_sec, end_sec = get_mask_interval(words, tuple(orig_span),
                                            args.edit_type)
-    # margins + clamp (reference inference_speech_editing_scale.py:193-201)
-    start_sec = max(0.0, start_sec - args.left_margin)
-    end_sec = min(audio_dur, end_sec + args.right_margin)
+    # margins + clamp (reference inference_speech_editing_scale.py:196-197:
+    # floor at one codec frame, ceil at the audio duration, round() to frames)
     sr = cfg.encodec_sr
-    interval = (int(start_sec * sr), int(end_sec * sr))
+    start_sec = max(start_sec - args.left_margin, 1.0 / sr)
+    end_sec = min(end_sec + args.right_margin, audio_dur)
+    interval = (round(start_sec * sr), round(end_sec * sr))
     logging.info("edit span: words %s -> %.2f..%.2fs -> frames %s",
                  orig_span, start_sec, end_sec, interval)
 

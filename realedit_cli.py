@@ -82,12 +82,19 @@ def main():
             with open(os.path.join(args.align_dir, stem + ".csv")) as f:
                 words = [r for r in csv.DictReader(f)
                          if r.get("Type", "words") == "words"]
-            span = tuple(int(v) for v in row["orig_masked_span"].split(","))
-            start_sec, end_sec = get_mask_interval(words, span, row["type"])
-            start_sec = max(0.0, start_sec - args.left_margin)
-            end_sec = min(audio_dur, end_sec + args.right_margin)
-            interval = (int(start_sec * cfg.encodec_sr),
-                        int(end_sec * cfg.encodec_sr))
+            # pipe-separated multi-span rows (reference
+            # inference_speech_editing_scale.py:186-201)
+            sr = cfg.encodec_sr
+            intervals = []
+            for ind_inter, edit_type in zip(
+                    row["orig_masked_span"].split("|"),
+                    row["type"].split("|")):
+                span = tuple(int(v) for v in ind_inter.split(","))
+                s_sec, e_sec = get_mask_interval(words, span, edit_type)
+                s_sec = max(s_sec - args.left_margin, 1.0 / sr)
+                e_sec = min(e_sec + args.right_margin, audio_dur)
+                intervals.append((round(s_sec * sr), round(e_sec * sr)))
+            intervals.sort()
 
             phones = tok.phonemize(row["new_transcript"].strip())
             if phn2num is None:
@@ -96,15 +103,15 @@ def main():
             x = np.asarray(phones_to_ids(phones, phn2num), np.int32)
 
             for s in range(args.num_seeds):
-                res = inference_edit(params, cfg, x, codes, [interval], scfg,
+                res = inference_edit(params, cfg, x, codes, intervals, scfg,
                                      seed=args.seed + s)
                 out = ec.decode_bucketed(cparams, res[None], ccfg)[0]
                 out_fn = os.path.join(args.out_dir,
                                       f"{stem}_new_seed{args.seed + s}.wav")
                 au.write_wav(out_fn, out, ccfg.sample_rate)
             n_ok += 1
-            logging.info("[%d/%d] %s: span %s -> frames %s, ok",
-                         i + 1, len(rows), wav_fn, span, interval)
+            logging.info("[%d/%d] %s: spans -> frames %s, ok",
+                         i + 1, len(rows), wav_fn, intervals)
         except Exception as e:
             logging.warning("[%d/%d] %s failed: %s", i + 1, len(rows),
                             row.get("wav_fn"), e)
