@@ -486,3 +486,35 @@ def test_tts_greedy_parity_eos_variant(ref_vc):
     else:
         assert steps_ref.shape == steps_my.shape
     assert matched >= 10, matched
+
+
+def test_get_mask_interval_parity(ref_vc):
+    """Our row-indexed get_mask_interval vs the reference implementation on
+    the committed demo alignment CSV."""
+    import ast
+    import csv as _csv
+    # the reference script's module-level imports need audiocraft/phonemizer;
+    # extract and exec just the pure-python get_mask_interval function
+    tree = ast.parse(open(os.path.join(
+        REF, "inference_speech_editing_scale.py")).read())
+    fn_node = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
+                   and n.name == "get_mask_interval")
+    ns = {}
+    exec(compile(ast.Module(body=[fn_node], type_ignores=[]),
+                 "ref_get_mask_interval", "exec"), ns)
+
+    class mod:
+        get_mask_interval = staticmethod(ns["get_mask_interval"])
+
+    from voicecraft_tpu.inference.editing import get_mask_interval
+    ali_fn = os.path.join(REF, "demo/temp/mfa_alignments",
+                          "5895_34622_000026_000002.csv")
+    with open(ali_fn) as f:
+        rows = list(_csv.DictReader(f))
+
+    for span, et in [("2,2", "substitution"), ("1,4", "substitution"),
+                     ("3,3", "deletion"), ("2,3", "insertion")]:
+        want = mod.get_mask_interval(ali_fn, span, et)
+        s, e = (int(v) for v in (span.split(",")[0], span.split(",")[-1]))
+        got = get_mask_interval(rows, (s, e), et)
+        assert got == want, (span, et, got, want)

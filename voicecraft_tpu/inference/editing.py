@@ -93,19 +93,26 @@ def get_span(orig: str, new: str, editType: str) -> Tuple[List[int], List[int]]:
 
 def get_mask_interval(alignment_rows: List[dict], word_span_ind: Tuple[int, int],
                       editType: str) -> Tuple[float, float]:
-    """MFA word-alignment rows -> (start_sec, end_sec) for the edit.
+    """MFA alignment rows -> (start_sec, end_sec) for the edit.
 
-    alignment_rows: dicts with keys Begin, End, Label, Type (word rows only),
-    as produced by MFA CSV (reference inference_speech_editing_scale.py:107-127).
-    Insertion uses the gap between the neighbouring words.
+    Faithful port of reference get_mask_interval
+    (inference_speech_editing_scale.py:107-127): ``word_span_ind`` (s, e)
+    indexes the alignment ROWS directly (get_span's insertion spans are
+    already the neighbouring-word pair [i-1, i]); substitution/deletion use
+    [Begin(s), End(e)], insertion uses the gap [End(s), Begin(e)].  Rows
+    whose Type is not 'words' are skipped at the matching index, like the
+    reference.
     """
-    words = [r for r in alignment_rows if r.get("Type", "words") == "words"]
     s, e = word_span_ind
-    if editType == "insertion":
-        # between word s-1's end and word s's begin
-        start = float(words[s - 1]["End"]) if s > 0 else 0.0
-        end = float(words[s]["Begin"]) if s < len(words) else float(words[-1]["End"])
-    else:
-        start = float(words[s]["Begin"])
-        end = float(words[e]["End"])
+    start = None
+    end = None
+    for j, r in enumerate(alignment_rows):
+        is_word = r.get("Type", "words") == "words"
+        if j == s and is_word:
+            start = float(r["End" if editType == "insertion" else "Begin"])
+        if j == e and is_word:
+            end = float(r["Begin" if editType == "insertion" else "End"])
+            assert start is not None, (s, e, editType)
+            break
+    assert start is not None and end is not None, (s, e, editType)
     return start, end
