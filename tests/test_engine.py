@@ -40,3 +40,27 @@ def test_engine_matches_single_with_refill():
         assert genE.shape == gen1.shape, (rid, genE.shape, gen1.shape)
         np.testing.assert_array_equal(genE, gen1, err_msg=f"req {rid}")
         np.testing.assert_array_equal(fullE[:, :y.shape[1]], y)
+
+
+def test_engine_special_first():
+    """special_first=1 checkpoints: _retire must unshift gen before
+    concatenating so the prompt segment of ``full`` is the raw y."""
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32",
+                              special_first=1)
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(13)
+    K = cfg.n_codebooks
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+    x = rng.integers(0, cfg.text_vocab_size, 8).astype(np.int32)
+    y = rng.integers(0, cfg.audio_vocab_size - cfg.n_special,
+                     (K, 14)).astype(np.int32)
+
+    eng = ContinuousBatcher(params, cfg, lanes=2, x_pad=32, y_pad=64,
+                            gen_max=256, burst=16, scfg=scfg, seed=0)
+    rid = eng.submit(x, y)
+    results = eng.run()
+    full1, gen1 = inference_tts(params, cfg, x, y, scfg, seed=0)
+    fullE, genE = results[rid]
+    np.testing.assert_array_equal(genE, gen1)
+    np.testing.assert_array_equal(fullE, full1)
+    np.testing.assert_array_equal(fullE[:, :y.shape[1]], y)

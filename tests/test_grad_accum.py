@@ -74,3 +74,33 @@ def test_grad_accum_runs_and_aggregates():
     d1 = float(jnp.abs(p1["mask_emb"] - params["mask_emb"]).max())
     d2 = float(jnp.abs(p2["mask_emb"] - params["mask_emb"]).max())
     assert d1 > 0 and d2 > 0
+
+
+def test_normalize_loss_scales_grads_by_ntok():
+    """Non-ScaledAdam optimizers backprop loss/effective_ntoken (reference
+    steps/trainer.py:139-141): with SGD(lr=1) the update is -grad, so the
+    normalized step's update must equal raw/ntok.  Reported loss stays raw."""
+    import optax
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = vc.init_params(cfg, jax.random.PRNGKey(3))
+    b = _batch(cfg, B=2, seed=5)
+    tx = optax.sgd(1.0)
+
+    cp = lambda: jax.tree.map(jnp.copy, params)
+    pa = cp()
+    p_raw, _, m_raw = make_train_step(cfg, tx, remat=False)(
+        pa, tx.init(pa), b, jax.random.PRNGKey(1))
+    pb = cp()
+    p_nrm, _, m_nrm = make_train_step(cfg, tx, remat=False,
+                                      normalize_loss=True)(
+        pb, tx.init(pb), b, jax.random.PRNGKey(1))
+
+    ntok = float(m_raw["effective_ntoken"])
+    assert ntok > 1
+    np.testing.assert_allclose(float(m_nrm["loss"]), float(m_raw["loss"]),
+                               rtol=1e-6)  # metrics stay raw
+    u_raw = np.asarray(p_raw["mask_emb"] - params["mask_emb"])
+    u_nrm = np.asarray(p_nrm["mask_emb"] - params["mask_emb"])
+    # scaling the loss reschedules the backward; f32 accumulation order
+    # shifts tiny elements by ~1e-7 absolute
+    np.testing.assert_allclose(u_nrm, u_raw / ntok, rtol=1e-3, atol=3e-7)

@@ -34,6 +34,31 @@ def test_serving_lanes_match_single_greedy():
         np.testing.assert_array_equal(fullB[:, :y.shape[1]], y)
 
 
+def test_serving_special_first_matches_single():
+    """special_first=1: the model samples in the +n_special space; the
+    result assembly must unshift gen and leave the raw prompt untouched."""
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32",
+                              special_first=1)
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(11)
+    K = cfg.n_codebooks
+    reqs = []
+    for b in range(2):
+        x = rng.integers(0, cfg.text_vocab_size, 8 + 3 * b).astype(np.int32)
+        y = rng.integers(0, cfg.audio_vocab_size - cfg.n_special,
+                         (K, 15 + 7 * b)).astype(np.int32)
+        reqs.append((x, y))
+
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+    batch_out = serve_tts_batch(params, cfg, reqs, scfg, seed=0)
+    for b, (x, y) in enumerate(reqs):
+        full1, gen1 = inference_tts(params, cfg, x, y, scfg, seed=0)
+        fullB, genB = batch_out[b]
+        np.testing.assert_array_equal(genB, gen1, err_msg=f"lane {b}")
+        np.testing.assert_array_equal(fullB[:, :y.shape[1]], y)
+        np.testing.assert_array_equal(fullB, full1, err_msg=f"lane {b}")
+
+
 def test_serving_stochastic_independent_lanes():
     cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
     params = init_params(cfg, jax.random.PRNGKey(7))

@@ -67,14 +67,23 @@ def sample_mask_intervals(rng: np.random.Generator, y_len: int,
             del starts[j]
     assert len(starts) > 0
 
+    # a start whose gap to the next start (or y_len) is < 2 cannot host even
+    # a length-1 mask — the reference's random.randint(1, gap-1) raises there
+    # (voicecraft.py:223; only reachable with min_gap <= 1 configs).  Drop
+    # such starts instead of emitting a degenerate zero-length span.
+    for j in range(len(starts) - 1, -1, -1):
+        nxt = starts[j + 1] if j + 1 < len(starts) else y_len
+        if nxt - starts[j] < 2 and len(starts) > 1:
+            del starts[j]
+
     temp_starts = starts + [y_len]
     gaps = [temp_starts[j + 1] - temp_starts[j] for j in range(len(starts))]
     ends = []
     for start, gap in zip(starts, gaps):
+        assert gap >= 2, (start, gap, y_len)
         mask_len = int(rng.integers(cfg.mask_len_min, cfg.mask_len_max + 1))
         if mask_len > gap - 1:
-            mask_len = int(rng.integers(1, max(gap - 1, 1) + 1))
-            mask_len = min(mask_len, gap - 1)
+            mask_len = int(rng.integers(1, gap))  # uniform on [1, gap-1]
         ends.append(start + mask_len)
 
     mask_intervals = list(zip(starts, ends))

@@ -368,10 +368,12 @@ class ContinuousBatcher:
             else:
                 gen = patterns.unshift_span(rows.T).astype(np.int32)
             y = self._req_y[rid]
-            full = np.concatenate([y, gen], axis=1)
+            # gen is in the +n_special sampling space when special_first;
+            # y is the caller's raw prompt — unshift gen BEFORE concatenating
+            # so the prompt segment of ``full`` is untouched
             if self.cfg.special_first:
-                full = full - self.cfg.n_special
                 gen = gen - self.cfg.n_special
+            full = np.concatenate([y, gen], axis=1)
             self._results[rid] = (full, gen)
             self._lane_req[b] = None
             self._lanes = self._lanes._replace(

@@ -202,6 +202,11 @@ def serve_tts_batch(params, cfg: ModelConfig,
             gen = np.zeros((K, 0), np.int32)
         else:
             gen = patterns.unshift_span(rows.T).astype(np.int32)
+        # the model samples in the +n_special space when special_first; the
+        # caller's y is raw, so unshift gen before concatenating (mirrors
+        # inference_tts, which shifts y up front and subtracts at the end)
+        if cfg.special_first:
+            gen = gen - cfg.n_special
         full = np.concatenate([y, gen], axis=1)
         out.append((full, gen))
     return out

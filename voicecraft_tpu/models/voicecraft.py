@@ -355,9 +355,11 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
     """Build the jitted single-sample decode function.
 
     Static geometry: x padded to ``x_pad``, composed y prefix padded to
-    ``y_pad``, at most ``gen_max`` decode iterations, slab size
-    x_pad + y_pad + gen_max (+ 3 per span transition, covered by gen_max
-    since feed steps also consume iterations).
+    ``y_pad``, at most ``gen_max`` *recorded* decode steps.  The loop bound
+    is gen_cnt, which queued mask/empty feed steps do NOT increment while
+    still writing KV at pos — so the slab carries 2*(max_spans-1) extra
+    slots (2 feed steps per span transition) to make pos <= s_max invariant
+    even when every span runs to the budget.
 
     Returns fn(params, x_tokens [1,x_pad], x_len, y_prefix [1,K,y_pad],
                prefix_len, mask_emb_idx [1,y_pad], queue_mask_ids [max_spans],
@@ -368,9 +370,9 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
     dtype = jnp.dtype(cfg.compute_dtype)
     cap_mult = (cfg.encodec_sr // 5) if is_tts else 10  # voicecraft.py:1042,751
-    s_max = x_pad + y_pad + gen_max
     if max_spans is None:
         max_spans = cfg.max_n_spans
+    s_max = x_pad + y_pad + gen_max + 2 * (max_spans - 1)
     pe_np = sine_table(MAX_POS, D)
 
     def decode(params, x_tokens, x_len, y_prefix, prefix_len, mask_emb_idx,

@@ -165,7 +165,11 @@ def scaled_adam(lr: Callable | float,
         bc2_main = 1.0 - beta2 ** (step.astype(jnp.float32) + 1.0)
 
         def leaf_update(g, st: _LeafState, p):
-            g = g * clip
+            # The reference applies the adaptive clip ONLY to the scale-grads
+            # recording (optim.py:497-510 reads the locally-clipped grad), while
+            # _step/_step_scalar (optim.py:612,646) re-read the raw p.grad for
+            # exp_avg_sq and the main update.  Mirror that exactly.
+            g_clip = g * clip
             delta = st.delta * beta1
 
             if p.size == 1:  # scalar path (reference optim.py:639-661)
@@ -178,8 +182,9 @@ def scaled_adam(lr: Callable | float,
                                   st.scale_exp_avg_sq, st.scale_grads), new_p - p
 
             axes = tuple(range(p.ndim))
-            # record the scale gradient this step (optim.py:506-510)
-            sg = jnp.sum(p * g, axis=axes, keepdims=True)
+            # record the scale gradient this step (optim.py:506-510) — the
+            # only consumer of the clipped grad
+            sg = jnp.sum(p * g_clip, axis=axes, keepdims=True)
             scale_grads = st.scale_grads.at[slot4].set(sg)
 
             # refresh param_rms every size_update_period steps (optim.py:511-517)

@@ -18,7 +18,8 @@ from ..models.voicecraft import TrainBatch, forward_train
 
 
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
-                    remat: bool = True, grad_accum: int = 1):
+                    remat: bool = True, grad_accum: int = 1,
+                    normalize_loss: bool = False):
     """Returns jitted step(params, opt_state, batch, rng) ->
     (params, opt_state, metrics).
 
@@ -32,13 +33,22 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     fully-masked rows) and SUMS gradients across microbatches, matching the
     reference's raw-sum loss backward for ScaledAdam
     (steps/trainer.py:87-141).
+
+    ``normalize_loss`` differentiates loss/effective_ntoken instead of the
+    raw summed loss — the reference backprops the normalized loss for every
+    optimizer except ScaledAdam (steps/trainer.py:139-141).  Reported metrics
+    carry the raw loss either way.
     """
 
     def grads_of(params, batch, rng):
         def loss_fn(p):
             out = forward_train(p, cfg, batch, rng=rng, remat=remat)
-            return out["loss"], out
-        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+            l = out["loss"]
+            if normalize_loss:
+                l = l / jnp.maximum(out["effective_ntoken"], 1).astype(l.dtype)
+            return l, out
+        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return (out["loss"], out), grads
 
     def step(params, opt_state, batch: TrainBatch, rng):
         if grad_accum <= 1:
@@ -92,7 +102,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
 
 def make_train_step_two_phase(cfg: ModelConfig,
                               tx: optax.GradientTransformation,
-                              remat: bool = True, grad_accum: int = 1):
+                              remat: bool = True, grad_accum: int = 1,
+                              normalize_loss: bool = False):
     """Memory-lean variant: gradients and the optimizer update run as two
     separate executables, so activations and the f32 optimizer temporaries
     never coexist in HBM.  Enables single-chip 830M training on 16 GB
@@ -101,14 +112,20 @@ def make_train_step_two_phase(cfg: ModelConfig,
     Same semantics as make_train_step; ~one extra dispatch per step.
     """
 
+    def objective(out):
+        l = out["loss"]
+        if normalize_loss:  # reference steps/trainer.py:139-141
+            l = l / jnp.maximum(out["effective_ntoken"], 1).astype(l.dtype)
+        return l
+
     def grads_fn(params, batch: TrainBatch, rng):
         if grad_accum <= 1:
             def loss_fn(p):
                 out = forward_train(p, cfg, batch, rng=rng, remat=remat)
-                return out["loss"], out
-            (loss, out), grads = jax.value_and_grad(
+                return objective(out), out
+            (_, out), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            return grads, loss, out
+            return grads, out["loss"], out
         B = batch.x.shape[0]
         assert B % grad_accum == 0, (B, grad_accum)
         mb = jax.tree.map(
@@ -122,9 +139,9 @@ def make_train_step_two_phase(cfg: ModelConfig,
 
             def loss_fn(p):
                 out = forward_train(p, cfg, b, rng=r, remat=remat)
-                return out["loss"], out
-            (l, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            return (jax.tree.map(jnp.add, gsum, g), loss_sum + l,
+                return objective(out), out
+            (_, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return (jax.tree.map(jnp.add, gsum, g), loss_sum + out["loss"],
                     acc_sum + out["top10acc"],
                     acc_cb + out["top10acc_by_codebook"],
                     ntok + out["effective_ntoken"]), None

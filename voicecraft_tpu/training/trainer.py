@@ -115,14 +115,19 @@ class Trainer:
         self.opt_state = jax.jit(self.tx.init)(self.params)
         two_phase = tcfg.two_phase_step or (
             param_count(self.params) > 4e8 and len(jax.devices()) == 1)
+        # the reference backprops loss/effective_ntoken for every optimizer
+        # except ScaledAdam (steps/trainer.py:139-141)
+        normalize = tcfg.optimizer_name != "ScaledAdam"
         if two_phase:
             from .step import make_train_step_two_phase
             log.info("using two-phase train step (memory-lean)")
             self.step_fn = make_train_step_two_phase(
-                mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps)
+                mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps,
+                normalize_loss=normalize)
         else:
             self.step_fn = make_train_step(
-                mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps)
+                mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps,
+                normalize_loss=normalize)
         self.rng = jax.random.PRNGKey(tcfg.seed)
 
         from ..utils.profiling import AverageMeter, StepProfiler
