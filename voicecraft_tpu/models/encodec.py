@@ -8,7 +8,11 @@ README.md:198: 56M params, 4 codebooks x 2048 codes, 16 kHz, 320x downsample
 the audiocraft SEANet/EnCodec structure (conv kernel 7, ratios 8/5/4/2,
 n_filters 64, one residual unit per stage, 2-layer LSTM with skip, weight-norm
 convs folded at load) — with a weight converter from audiocraft checkpoints
-(utils/convert_encodec.py) so codes are bit-compatible after porting.
+(utils/convert_encodec.py).  End-to-end parity is proven in
+tests/test_encodec_e2e.py: on real audio, codes are bit-identical and decoded
+waveforms match (>70 dB SNR) vs a torch oracle reproducing audiocraft's
+forward semantics and state-dict layout (tests/oracle_encodec.py), for both
+the giga architecture and non-causal/shortcut variants.
 
 Layout convention: activations are [B, T, C] (NWC — the TPU-friendly layout;
 XLA maps channel-last convs onto the MXU as matmuls over C).
