@@ -42,6 +42,14 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="measure training throughput (codec tokens/s/chip, "
                          "forward+backward+ScaledAdam)")
+    ap.add_argument("--engine", type=int, default=0, metavar="LANES",
+                    help="measure continuous-batching aggregate throughput: "
+                         "2x LANES mixed-length requests, lanes refill "
+                         "mid-flight (inference/engine.py)")
+    ap.add_argument("--burst", type=int, default=48,
+                    help="engine burst size (steps between admission checks)")
+    ap.add_argument("--kv-fp8", action="store_true",
+                    help="store the KV slab in float8_e4m3 (serving/engine)")
     args = ap.parse_args()
     args.fp8 = not args.bf16
 
@@ -72,6 +80,9 @@ def main():
 
     if args.serve:
         _bench_serving(args, cfg, params, rng)
+        return
+    if args.engine:
+        _bench_engine(args, cfg, params, rng)
         return
 
     x_tokens = rng.integers(0, cfg.text_vocab_size, args.phones).astype(np.int32)
@@ -195,8 +206,9 @@ def _bench_serving(args, cfg, params, rng):
         pre = spans.compose_tts_prefix(prompt, cfg)
         yt[b, :, :pre.length] = pre.tokens
         p_lens[b] = pre.length
-    loop = make_serving_tts_loop(cfg, batch_size=B, x_pad=x_pad,
-                                 y_pad=y_pad, gen_max=gen_max, scfg=scfg)
+    loop = make_serving_tts_loop(
+        cfg, batch_size=B, x_pad=x_pad, y_pad=y_pad, gen_max=gen_max,
+        scfg=scfg, kv_dtype="float8_e4m3fn" if args.kv_fp8 else None)
     a = (params, jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
          jnp.asarray(p_lens), jax.random.PRNGKey(0))
     t0 = time.perf_counter()
@@ -217,6 +229,72 @@ def _bench_serving(args, cfg, params, rng):
           file=sys.stderr)
     print(json.dumps({
         "metric": f"tts_serving_rtf_830m_b{B}",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf, 2),
+    }))
+
+
+def _bench_engine(args, cfg, params, rng):
+    """Continuous-batching throughput with mid-flight refill.
+
+    2x LANES requests with mixed target lengths (capped by the x_len*10
+    frame budget, so lengths are deterministic under bench sampling) are
+    drained through the ContinuousBatcher; wall-clock covers everything the
+    server would do: admission prefills, bursts, retirement readbacks."""
+    import jax
+    from voicecraft_tpu.data import spans
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    from voicecraft_tpu.inference.engine import ContinuousBatcher
+
+    lanes = args.engine
+    K = cfg.n_codebooks
+    n_req = 2 * lanes
+    scfg = SamplingConfig(top_k=40, stop_repetition=3)
+    # target generated lengths between 60% and 100% of --frames via the
+    # x_len * (encodec_sr//5) cap (sampled eog is rare at random init)
+    cap_mult = cfg.encodec_sr // 5
+    reqs = []
+    total_target = 0
+    for i in range(n_req):
+        target = int(args.frames * (0.6 + 0.4 * (i % lanes) / max(lanes - 1, 1)))
+        x_len = (target + args.prompt_frames) // cap_mult + 1
+        x = rng.integers(0, cfg.text_vocab_size, x_len).astype(np.int32)
+        y = rng.integers(0, cfg.audio_vocab_size,
+                         (K, args.prompt_frames)).astype(np.int32)
+        reqs.append((x, y))
+        total_target += target
+
+    def make_engine():
+        return ContinuousBatcher(
+            params, cfg, lanes=lanes, x_pad=128,
+            y_pad=((args.prompt_frames + K + 8 + 63) // 64) * 64,
+            gen_max=args.frames + 16, burst=args.burst, scfg=scfg, seed=0,
+            kv_dtype="float8_e4m3fn" if args.kv_fp8 else None)
+
+    eng = make_engine()
+    t0 = time.perf_counter()
+    for x, y in reqs[:lanes]:
+        eng.submit(x, y)
+    warm = eng.run()
+    print(f"compile+warmup: {time.perf_counter() - t0:.1f}s "
+          f"({len(warm)} requests)", file=sys.stderr)
+
+    times, frames = [], 0
+    for it in range(args.iters):
+        for x, y in reqs:
+            eng.submit(x, y)
+        t0 = time.perf_counter()
+        results = eng.run()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        frames = sum(g.shape[1] for _, g in results.values())
+    best = min(times)
+    rtf = frames / cfg.encodec_sr / best
+    print(f"engine: {best:.2f}s for {frames} frames, {n_req} requests "
+          f"over {lanes} lanes (burst {args.burst})", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"tts_engine_rtf_830m_l{lanes}",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf, 2),

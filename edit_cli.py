@@ -5,12 +5,16 @@ Regenerate the span of audio corresponding to a transcript edit:
 
   python edit_cli.py --model ckpt.pth --codec encodec.th --wav orig.wav \\
       --orig-transcript "..." --target-transcript "..." \\
-      --edit-type substitution --mfa-csv align.csv --out edited.wav
+      --edit-type substitution --out edited.wav
 
-The MFA CSV carries word alignments (Begin,End,Label,Type rows).  The edited
-word span is found by diffing transcripts (edit_utils.get_span), converted to
-seconds via the alignment, padded by --left/right-margin, then to codec
-frames (reference inference_speech_editing_scale.py:107-127, 193-207).
+Word alignments come from --mfa-csv (Begin,End,Label,Type rows) when given;
+otherwise they are derived in-process (voicecraft_tpu/align.py): Whisper
+cross-attention timestamps when --asr-model points at a local snapshot, else
+the dependency-free energy aligner — matching the reference's
+auto-alignment behaviour (predict.py:209-215).  The edited word span is
+found by diffing transcripts (edit_utils.get_span), converted to seconds via
+the alignment, padded by --left/right-margin, then to codec frames
+(reference inference_speech_editing_scale.py:107-127, 193-207).
 """
 
 import argparse
@@ -35,7 +39,11 @@ def main():
     ap.add_argument("--target-transcript", required=True)
     ap.add_argument("--edit-type", required=True,
                     choices=["substitution", "insertion", "deletion"])
-    ap.add_argument("--mfa-csv", required=True)
+    ap.add_argument("--mfa-csv", default=None,
+                    help="word-alignment CSV; omitted -> align in-process")
+    ap.add_argument("--asr-model", default=None,
+                    help="local Whisper snapshot dir for alignment/"
+                         "transcription when no --mfa-csv is given")
     ap.add_argument("--out", required=True)
     ap.add_argument("--left-margin", type=float, default=0.08)
     ap.add_argument("--right-margin", type=float, default=0.08)
@@ -79,7 +87,15 @@ def main():
     codes = ec.encode_bucketed(cparams, wav, ccfg)[0]
     audio_dur = wav.shape[1] / ccfg.sample_rate
 
-    words = read_mfa_csv(args.mfa_csv)
+    if args.mfa_csv:
+        words = read_mfa_csv(args.mfa_csv)
+    else:
+        from voicecraft_tpu.align import align_words
+        words = align_words(wav, ccfg.sample_rate,
+                            args.orig_transcript.strip().lower(),
+                            asr_model_path=args.asr_model)
+        logging.info("in-process alignment: %s",
+                     [(r["Label"], r["Begin"], r["End"]) for r in words])
     orig_span, _ = get_span(args.orig_transcript.strip().lower(),
                             args.target_transcript.strip().lower(),
                             args.edit_type)

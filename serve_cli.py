@@ -1,35 +1,52 @@
 #!/usr/bin/env python
-"""HTTP serving app: zero-shot TTS + speech editing with micro-batching.
-
-The reference's app layer is a gradio UI + a Replicate cog wrapper
-(gradio_app.py, predict.py).  This is the TPU-serving equivalent on the
-stdlib only: a threaded HTTP front-end, a request queue, and a batcher thread
-that coalesces concurrent TTS requests into multi-stream decodes
-(voicecraft_tpu/inference/serving.py) so the HBM-bound decoder is shared
-across lanes.
+"""HTTP serving app: zero-shot TTS + Long TTS + speech editing with
+micro-batching — the TPU-serving equivalent of the reference's app layer
+(gradio_app.py + predict.py), on the stdlib only.
 
   python serve_cli.py --model ckpt.pth --codec encodec.th --port 8080
   # smoke: python serve_cli.py --model tiny_test --random-init --port 8080
 
+Feature parity with gradio_app.py:
+  * three modes — TTS, Long TTS (sentence split, decoded as one
+    multi-stream batch instead of the reference's sequential loop), Edit
+  * smart transcript (gradio_app.py:254-296): the prompt's aligned words are
+    stitched ahead of (and, for edits, after) the typed text
+  * per-sentence rerun (gradio_app.py:237-240, 316-320) via /rerun
+  * num2words normalization (gradio_app.py:207-216)
+  * editing works from a raw wav alone — word alignments come from the
+    in-process aligner (voicecraft_tpu/align.py) when the request carries
+    none (predict.py:209-215 parity)
+
 Endpoints:
-  GET  /            minimal web UI
+  GET  /            web UI (three modes)
   GET  /healthz     liveness + model info
-  POST /tts         {"prompt_wav_b64": ..., "prompt_transcript": ...,
-                     "target_transcript": ..., "top_k": 40, ...}
-                    -> {"wav_b64": ..., "gen_sec": ..., "latency_sec": ...}
-  POST /edit        {"wav_b64": ..., "orig_transcript": ...,
-                     "target_transcript": ..., "edit_type": ...,
-                     "alignment": [{"Begin","End","Label"}...]} -> wav
+  POST /tts         {"prompt_wav_b64", "prompt_transcript",
+                     "target_transcript", "mode": "TTS"|"Long TTS",
+                     "smart_transcript": bool, "prompt_end_sec": float,
+                     "split_text": "Sentence"|"Newline", "top_k": 40, ...}
+                    -> {"wav_b64", "gen_sec", "latency_sec", "session",
+                        "sentences": ["0: ...", ...],
+                        "inference_transcript"}
+  POST /rerun       {"session", "sentence_idx", "sentence_text"?, "seed"?}
+                    -> {"wav_b64" (combined), "sentence_wav_b64"}
+  POST /edit        {"wav_b64", "target_transcript", ...
+                     either ("orig_transcript" + "edit_type"
+                             [+ "alignment" rows])
+                     or     ("edit_start_sec" + "edit_end_sec"
+                             [+ "smart_transcript" + "orig_transcript"])}
+                    -> {"wav_b64", "latency_sec"}
 """
 
 import argparse
 import base64
+import collections
 import io
 import json
 import logging
 import queue
 import threading
 import time
+import uuid
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -37,37 +54,9 @@ import numpy as np
 
 log = logging.getLogger("voicecraft_tpu.serve")
 
-INDEX_HTML = """<!doctype html><html><head><title>voicecraft-tpu</title>
-<style>body{font-family:sans-serif;max-width:48rem;margin:2rem auto;padding:0 1rem}
-textarea,input{width:100%;margin:.25rem 0}button{padding:.5rem 1rem}</style></head>
-<body><h2>voicecraft-tpu</h2>
-<p>Zero-shot TTS: upload a voice prompt wav, its transcript, and the text to
-synthesize in that voice.</p>
-<input type=file id=wav accept=.wav>
-<textarea id=pt rows=2 placeholder="prompt transcript"></textarea>
-<textarea id=tt rows=2 placeholder="target transcript"></textarea>
-<button onclick=go()>Synthesize</button> <span id=st></span>
-<audio id=out controls style="display:block;margin-top:1rem"></audio>
-<script>
-async function go(){
-  const f = document.getElementById('wav').files[0];
-  if(!f){alert('pick a wav');return}
-  const b64 = btoa(String.fromCharCode(...new Uint8Array(await f.arrayBuffer())));
-  document.getElementById('st').textContent = 'generating...';
-  const r = await fetch('/tts', {method:'POST', body: JSON.stringify({
-    prompt_wav_b64: b64,
-    prompt_transcript: document.getElementById('pt').value,
-    target_transcript: document.getElementById('tt').value})});
-  const j = await r.json();
-  document.getElementById('st').textContent =
-    r.ok ? (j.gen_sec.toFixed(1)+'s audio in '+j.latency_sec.toFixed(1)+'s') : j.error;
-  if(r.ok) document.getElementById('out').src = 'data:audio/wav;base64,'+j.wav_b64;
-}
-</script></body></html>"""
-
 
 class Engine:
-    """Model + codec + micro-batching TTS scheduler."""
+    """Model + codec + micro-batching TTS scheduler + session store."""
 
     def __init__(self, args):
         from voicecraft_tpu.inference.loader import load_model, load_codec
@@ -79,6 +68,9 @@ class Engine:
         self.tok = make_text_tokenizer(args.language, args.text_backend)
         self.queue: "queue.Queue" = queue.Queue()
         self.lock = threading.Lock()
+        # rerun sessions: sid -> {"codes", "prompt_end", "scfg", "seed",
+        #                         "sentences", "targets", "gen_wavs"}
+        self.sessions = collections.OrderedDict()
         threading.Thread(target=self._batch_worker, daemon=True).start()
 
     # ---- request plumbing -----------------------------------------------------
@@ -121,31 +113,135 @@ class Engine:
             stop_repetition=int(req.get("stop_repetition", 3)),
             silence_tokens=tuple(req.get("silence_tokens", (1388, 1898, 131))))
 
-    # ---- TTS with micro-batching ------------------------------------------------
+    def _words_info(self, req, wav, transcript):
+        """Whisper-style words_info for the prompt: request-supplied
+        alignment rows, else the in-process aligner."""
+        from voicecraft_tpu.app import words_info_from_rows
+        if req.get("alignment"):
+            return words_info_from_rows(req["alignment"])
+        from voicecraft_tpu.align import align_words
+        rows = align_words(wav, self.ccfg.sample_rate, transcript,
+                           asr_model_path=self.args.asr_model)
+        return words_info_from_rows(rows)
+
+    def _decode_sentences(self, slots):
+        """Queue sentence slots through the micro-batcher, wait for all."""
+        for s in slots:
+            self.queue.put(s)
+        for s in slots:
+            s["done"].wait(timeout=600)
+            if isinstance(s["result"], Exception):
+                raise s["result"]
+
+    def _remember(self, sid, state):
+        self.sessions[sid] = state
+        while len(self.sessions) > 16:
+            self.sessions.popitem(last=False)
+
+    # ---- TTS / Long TTS ---------------------------------------------------------
 
     def tts(self, req: dict) -> dict:
+        from voicecraft_tpu.app import (normalize_transcript,
+                                        smart_transcript_tts, split_sentences)
         from voicecraft_tpu.models import encodec as ec
         t0 = time.time()
-        x = self._phonemize(req["prompt_transcript"].strip() + " "
-                            + req["target_transcript"].strip())
-        wav = self._decode_wav_b64(req["prompt_wav_b64"])
-        end = float(req.get("prompt_end_sec", -1))
-        if end > 0:
-            wav = wav[:, :int(end * self.ccfg.sample_rate)]
-        codes = ec.encode_bucketed(self.cparams, wav, self.ccfg)[0]
+        cfg, ccfg = self.cfg, self.ccfg
+        mode = req.get("mode", "TTS")
+        target_text = normalize_transcript(req["target_transcript"])
+        prompt_transcript = normalize_transcript(
+            req.get("prompt_transcript", ""))
 
-        done = threading.Event()
-        slot = {"x": x, "codes": codes, "scfg": self._scfg(req),
-                "seed": int(req.get("seed", self.args.seed)),
-                "done": done, "result": None}
-        self.queue.put(slot)
-        done.wait(timeout=600)
-        if isinstance(slot["result"], Exception):
-            raise slot["result"]
-        full, gen = slot["result"]
-        out = ec.decode_bucketed(self.cparams, full[None], self.ccfg)[0]
-        return {"wav_b64": self._wav_to_b64(out),
-                "gen_sec": gen.shape[1] / self.cfg.encodec_sr,
+        wav = self._decode_wav_b64(req["prompt_wav_b64"])
+        audio_dur = wav.shape[1] / ccfg.sample_rate
+        prompt_end = float(req.get("prompt_end_sec", -1))
+        if prompt_end <= 0:
+            prompt_end = audio_dur
+        smart = bool(req.get("smart_transcript", False))
+
+        if mode == "Long TTS":
+            sentences = split_sentences(target_text,
+                                        req.get("split_text", "Sentence"))
+        else:
+            sentences = [target_text.replace("\n", " ")]
+
+        words_info = None
+        if smart:
+            if not prompt_transcript:
+                raise ValueError("smart_transcript needs prompt_transcript")
+            words_info = self._words_info(req, wav, prompt_transcript)
+
+        # per-sentence targets (+ the adjusted prompt cut for smart mode)
+        targets, cut = [], min(prompt_end, audio_dur)
+        for sentence in sentences:
+            if smart:
+                tgt, cut = smart_transcript_tts(words_info, cut, sentence)
+            else:
+                tgt = (prompt_transcript + " " + sentence).strip()
+            targets.append(tgt)
+        codes = ec.encode_bucketed(
+            self.cparams, wav[:, :int(cut * ccfg.sample_rate)], ccfg)[0]
+
+        seed = int(req.get("seed", self.args.seed))
+        scfg = self._scfg(req)
+        slots = [{"x": self._phonemize(t), "codes": codes, "scfg": scfg,
+                  "seed": seed + i, "done": threading.Event(),
+                  "result": None} for i, t in enumerate(targets)]
+        self._decode_sentences(slots)
+
+        gen_wavs = [ec.decode_bucketed(self.cparams, s["result"][1][None],
+                                       ccfg)[0] for s in slots]
+        combined = np.concatenate(gen_wavs, axis=-1)
+        if req.get("include_prompt"):
+            combined = np.concatenate(
+                [wav[0, :int(cut * ccfg.sample_rate)], combined], axis=-1)
+
+        sid = uuid.uuid4().hex[:12]
+        self._remember(sid, {"codes": codes, "scfg": scfg, "seed": seed,
+                             "sentences": list(sentences),
+                             "targets": targets, "gen_wavs": gen_wavs,
+                             "smart": smart, "words_info": words_info,
+                             "cut": cut})
+        gen_sec = sum(s["result"][1].shape[1] for s in slots) / cfg.encodec_sr
+        return {"wav_b64": self._wav_to_b64(combined),
+                "gen_sec": gen_sec,
+                "latency_sec": time.time() - t0,
+                "session": sid,
+                "sentences": [f"{i}: {s}" for i, s in enumerate(sentences)],
+                "inference_transcript": "\n".join(targets)}
+
+    def rerun(self, req: dict) -> dict:
+        """Regenerate one sentence of a previous TTS session
+        (gradio_app.py Rerun mode)."""
+        from voicecraft_tpu.app import (normalize_transcript,
+                                        smart_transcript_tts)
+        from voicecraft_tpu.models import encodec as ec
+        t0 = time.time()
+        st = self.sessions.get(req.get("session", ""))
+        if st is None:
+            raise ValueError("unknown or expired session")
+        idx = int(req["sentence_idx"])
+        if not 0 <= idx < len(st["targets"]):
+            raise ValueError(f"sentence_idx out of range: {idx}")
+        sentence = req.get("sentence_text")
+        if sentence is not None:
+            sentence = normalize_transcript(sentence)
+            if st["smart"]:
+                tgt, _ = smart_transcript_tts(st["words_info"], st["cut"],
+                                              sentence)
+            else:
+                tgt = sentence
+            st["sentences"][idx] = sentence
+            st["targets"][idx] = tgt
+        seed = int(req.get("seed", st["seed"] + 1000 + idx))
+        slot = {"x": self._phonemize(st["targets"][idx]),
+                "codes": st["codes"], "scfg": st["scfg"], "seed": seed,
+                "done": threading.Event(), "result": None}
+        self._decode_sentences([slot])
+        st["gen_wavs"][idx] = ec.decode_bucketed(
+            self.cparams, slot["result"][1][None], self.ccfg)[0]
+        combined = np.concatenate(st["gen_wavs"], axis=-1)
+        return {"wav_b64": self._wav_to_b64(combined),
+                "sentence_wav_b64": self._wav_to_b64(st["gen_wavs"][idx]),
                 "latency_sec": time.time() - t0}
 
     def _batch_worker(self):
@@ -184,32 +280,182 @@ class Engine:
     # ---- editing (single-stream) -------------------------------------------------
 
     def edit(self, req: dict) -> dict:
+        from voicecraft_tpu.app import (morph_edit_span, normalize_transcript,
+                                        smart_transcript_edit)
         from voicecraft_tpu.models import encodec as ec
         from voicecraft_tpu.inference.editing import (
             inference_edit, get_span, get_mask_interval)
         t0 = time.time()
+        cfg, ccfg = self.cfg, self.ccfg
         wav = self._decode_wav_b64(req["wav_b64"])
-        audio_dur = wav.shape[1] / self.ccfg.sample_rate
-        codes = ec.encode_bucketed(self.cparams, wav, self.ccfg)[0]
-        x = self._phonemize(req["target_transcript"].strip())
-        orig_span, _ = get_span(req["orig_transcript"].strip().lower(),
-                                req["target_transcript"].strip().lower(),
-                                req["edit_type"])
-        start_sec, end_sec = get_mask_interval(req["alignment"],
-                                               tuple(orig_span),
-                                               req["edit_type"])
-        margin = float(req.get("margin", 0.08))
-        start_sec = max(0.0, start_sec - margin)
-        end_sec = min(audio_dur, end_sec + margin)
-        interval = (int(start_sec * self.cfg.encodec_sr),
-                    int(end_sec * self.cfg.encodec_sr))
+        audio_dur = wav.shape[1] / ccfg.sample_rate
+        codes = ec.encode_bucketed(self.cparams, wav, ccfg)[0]
+        target_text = normalize_transcript(req["target_transcript"])
+        orig_text = normalize_transcript(req.get("orig_transcript", ""))
+
+        if "edit_start_sec" in req and "edit_end_sec" in req:
+            start_sec = float(req["edit_start_sec"])
+            end_sec = float(req["edit_end_sec"])
+            if req.get("smart_transcript"):
+                if not orig_text:
+                    raise ValueError("smart_transcript needs orig_transcript")
+                wi = self._words_info(req, wav, orig_text.lower())
+                target_text = normalize_transcript(smart_transcript_edit(
+                    wi, start_sec, end_sec, target_text))
+        else:
+            # transcript-diff path (predict.py / edit_cli semantics);
+            # alignment rows come from the request or the in-process aligner
+            if not orig_text:
+                raise ValueError("need orig_transcript (or edit_*_sec times)")
+            if req.get("alignment"):
+                rows = [r for r in req["alignment"]
+                        if r.get("Type", "words") == "words"]
+            else:
+                from voicecraft_tpu.align import align_words
+                rows = align_words(wav, ccfg.sample_rate, orig_text.lower(),
+                                   asr_model_path=self.args.asr_model)
+            orig_span, _ = get_span(orig_text.lower(), target_text.lower(),
+                                    req["edit_type"])
+            start_sec, end_sec = get_mask_interval(rows, tuple(orig_span),
+                                                   req["edit_type"])
+
+        interval = morph_edit_span(
+            start_sec, end_sec,
+            left_margin=float(req.get("left_margin", req.get("margin", 0.08))),
+            right_margin=float(req.get("right_margin", req.get("margin", 0.08))),
+            audio_dur=audio_dur, codec_sr=cfg.encodec_sr)
+        x = self._phonemize(target_text)
         with self.lock:
-            res = inference_edit(self.params, self.cfg, x, codes, [interval],
+            res = inference_edit(self.params, cfg, x, codes, [interval],
                                  self._scfg(req),
                                  seed=int(req.get("seed", self.args.seed)))
-        out = ec.decode_bucketed(self.cparams, res[None], self.ccfg)[0]
+        out = ec.decode_bucketed(self.cparams, res[None], ccfg)[0]
         return {"wav_b64": self._wav_to_b64(out),
+                "edit_interval_frames": list(interval),
                 "latency_sec": time.time() - t0}
+
+
+INDEX_HTML = """<!doctype html><html><head><title>voicecraft-tpu</title>
+<style>body{font-family:sans-serif;max-width:52rem;margin:2rem auto;padding:0 1rem}
+textarea,input,select{width:100%;margin:.25rem 0;box-sizing:border-box}
+button{padding:.5rem 1rem;margin:.25rem .25rem .25rem 0}
+.row{display:flex;gap:1rem}.row>div{flex:1}
+fieldset{margin:.75rem 0;border:1px solid #ccc}</style></head>
+<body><h2>voicecraft-tpu</h2>
+<div class=row><div>
+<label>Mode <select id=mode onchange="modeUi()">
+<option>TTS</option><option>Long TTS</option><option>Edit</option>
+</select></label></div><div>
+<label><input type=checkbox id=smart style="width:auto"> smart transcript</label>
+</div></div>
+<input type=file id=wav accept=.wav>
+<textarea id=pt rows=2 placeholder="prompt / original transcript"></textarea>
+<textarea id=tt rows=3 placeholder="target transcript (TTS: text to speak; Edit: replacement text or full target)"></textarea>
+<div class=row id=ttsopts><div>
+<label>prompt end (s) <input id=pend type=number step=0.01 value=-1></label>
+</div><div>
+<label>split <select id=split><option>Sentence</option><option>Newline</option></select></label>
+</div></div>
+<fieldset id=editopts style="display:none"><legend>Edit</legend>
+<div class=row><div>
+<label>edit type <select id=etype><option>substitution</option>
+<option>insertion</option><option>deletion</option></select></label></div><div>
+<label>left margin <input id=lm type=number step=0.01 value=0.08></label></div><div>
+<label>right margin <input id=rm type=number step=0.01 value=0.08></label>
+</div></div></fieldset>
+<div class=row><div><label>top_k <input id=topk type=number value=40></label></div>
+<div><label>top_p <input id=topp type=number step=0.05 value=1.0></label></div>
+<div><label>temperature <input id=temp type=number step=0.05 value=1.0></label></div>
+<div><label>seed <input id=seed type=number value=1></label></div></div>
+<button onclick=go()>Run</button> <span id=st></span>
+<audio id=out controls style="display:block;margin-top:1rem"></audio>
+<fieldset id=rerunbox style="display:none"><legend>Rerun a sentence</legend>
+<select id=sentsel></select>
+<textarea id=sentedit rows=2></textarea>
+<button onclick=rerun()>Rerun sentence</button>
+<audio id=sentout controls style="display:block"></audio></fieldset>
+<pre id=itx></pre>
+<script>
+let session = null;
+function modeUi(){
+  const m = document.getElementById('mode').value;
+  document.getElementById('editopts').style.display = m==='Edit'?'':'none';
+  document.getElementById('ttsopts').style.display = m==='Edit'?'none':'flex';
+}
+async function b64(){
+  const f = document.getElementById('wav').files[0];
+  if(!f){alert('pick a wav');throw 'no wav'}
+  const bytes = new Uint8Array(await f.arrayBuffer());
+  let s=''; for(let i=0;i<bytes.length;i+=0x8000)
+    s += String.fromCharCode.apply(null, bytes.subarray(i,i+0x8000));
+  return btoa(s);
+}
+function common(){return {
+  top_k:+document.getElementById('topk').value,
+  top_p:+document.getElementById('topp').value,
+  temperature:+document.getElementById('temp').value,
+  seed:+document.getElementById('seed').value,
+  smart_transcript:document.getElementById('smart').checked};}
+async function go(){
+  const m = document.getElementById('mode').value;
+  const st = document.getElementById('st');
+  st.textContent = 'generating...';
+  try{
+    let r, j;
+    if(m==='Edit'){
+      r = await fetch('/edit',{method:'POST',body:JSON.stringify({...common(),
+        wav_b64: await b64(),
+        orig_transcript: document.getElementById('pt').value,
+        target_transcript: document.getElementById('tt').value,
+        edit_type: document.getElementById('etype').value,
+        left_margin:+document.getElementById('lm').value,
+        right_margin:+document.getElementById('rm').value})});
+    } else {
+      r = await fetch('/tts',{method:'POST',body:JSON.stringify({...common(),
+        mode:m, prompt_wav_b64: await b64(),
+        prompt_transcript: document.getElementById('pt').value,
+        target_transcript: document.getElementById('tt').value,
+        prompt_end_sec:+document.getElementById('pend').value,
+        split_text: document.getElementById('split').value})});
+    }
+    j = await r.json();
+    if(!r.ok) throw j.error;
+    st.textContent = (j.gen_sec!==undefined?j.gen_sec.toFixed(1)+'s audio in ':'done in ')
+      + j.latency_sec.toFixed(1)+'s';
+    document.getElementById('out').src = 'data:audio/wav;base64,'+j.wav_b64;
+    document.getElementById('itx').textContent = j.inference_transcript||'';
+    session = j.session||null;
+    const box = document.getElementById('rerunbox');
+    if(j.sentences && j.sentences.length){
+      box.style.display='';
+      const sel = document.getElementById('sentsel');
+      sel.innerHTML='';
+      j.sentences.forEach(s=>{const o=document.createElement('option');
+        o.textContent=s; sel.appendChild(o);});
+      sel.onchange = ()=>{const v=sel.value;
+        document.getElementById('sentedit').value=v.slice(v.indexOf(':')+2);};
+      sel.onchange();
+    } else box.style.display='none';
+  }catch(e){st.textContent = 'error: '+e}
+}
+async function rerun(){
+  const sel = document.getElementById('sentsel');
+  const st = document.getElementById('st');
+  st.textContent = 'rerunning...';
+  try{
+    const r = await fetch('/rerun',{method:'POST',body:JSON.stringify({
+      session, sentence_idx: sel.selectedIndex,
+      sentence_text: document.getElementById('sentedit').value,
+      seed: Math.floor(Math.random()*1e6)})});
+    const j = await r.json();
+    if(!r.ok) throw j.error;
+    st.textContent = 'rerun done in '+j.latency_sec.toFixed(1)+'s';
+    document.getElementById('out').src = 'data:audio/wav;base64,'+j.wav_b64;
+    document.getElementById('sentout').src = 'data:audio/wav;base64,'+j.sentence_wav_b64;
+  }catch(e){st.textContent = 'error: '+e}
+}
+modeUi();
+</script></body></html>"""
 
 
 def make_handler(engine: Engine):
@@ -244,6 +490,8 @@ def make_handler(engine: Engine):
                     out = engine.tts(req)
                 elif self.path == "/edit":
                     out = engine.edit(req)
+                elif self.path == "/rerun":
+                    out = engine.rerun(req)
                 else:
                     return self._send(404, json.dumps({"error": "not found"}))
                 if isinstance(out, Exception):
@@ -267,6 +515,9 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--language", default="en-us")
     ap.add_argument("--text-backend", default="auto")
+    ap.add_argument("--asr-model", default=None,
+                    help="local Whisper snapshot dir for transcription/"
+                         "alignment (else the energy aligner is used)")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()

@@ -114,3 +114,48 @@ def test_concurrent_tts_and_edit(server):
         "target_transcript": "a great prompt", "edit_type": "substitution",
         "alignment": align, "top_k": 15, "silence_tokens": [5, 7]})
     assert "wav_b64" in r and len(r["wav_b64"]) > 1000
+
+
+def test_long_tts_with_rerun(server):
+    b64 = _prompt_b64()
+    r = _post(server, "/tts", {
+        "prompt_wav_b64": b64, "prompt_end_sec": 1.2,
+        "prompt_transcript": "a test prompt",
+        "target_transcript": "First thing. Second thing.",
+        "mode": "Long TTS", "top_k": 15, "silence_tokens": [5, 7]})
+    assert r["sentences"] == ["0: First thing.", "1: Second thing."]
+    assert r["session"] and r["gen_sec"] > 0
+    assert "First thing." in r["inference_transcript"]
+
+    rr = _post(server, "/rerun", {
+        "session": r["session"], "sentence_idx": 1,
+        "sentence_text": "A new second thing.", "seed": 7,
+        "silence_tokens": [5, 7]})
+    assert "wav_b64" in rr and "sentence_wav_b64" in rr
+    assert len(rr["wav_b64"]) > len(rr["sentence_wav_b64"]) // 2
+
+
+def test_edit_without_alignment(server):
+    """predict.py parity: editing from a raw wav + transcripts alone — the
+    server aligns in-process."""
+    b64 = _prompt_b64()
+    r = _post(server, "/edit", {
+        "wav_b64": b64, "orig_transcript": "a test prompt",
+        "target_transcript": "a great prompt", "edit_type": "substitution",
+        "top_k": 15, "silence_tokens": [5, 7]})
+    assert "wav_b64" in r and len(r["wav_b64"]) > 1000
+    s, e = r["edit_interval_frames"]
+    assert 0 < s < e <= 101  # inside the 2 s clip, 50 Hz frames
+
+
+def test_tts_smart_transcript(server):
+    b64 = _prompt_b64()
+    r = _post(server, "/tts", {
+        "prompt_wav_b64": b64, "prompt_end_sec": 1.0,
+        "prompt_transcript": "a test prompt",
+        "smart_transcript": True,
+        "target_transcript": "hello there", "top_k": 15,
+        "silence_tokens": [5, 7]})
+    assert "wav_b64" in r and r["gen_sec"] > 0
+    # the smart transcript stitches aligned prompt words before the text
+    assert r["inference_transcript"].endswith("hello there")

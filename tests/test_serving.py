@@ -71,3 +71,23 @@ def test_serving_stochastic_independent_lanes():
     out = serve_tts_batch(params, cfg, [(x, y), (x, y)], scfg, seed=9)
     g0, g1 = out[0][1], out[1][1]
     assert g0.shape != g1.shape or not np.array_equal(g0, g1)
+
+
+def test_serving_fp8_kv_cache_runs():
+    """kv_dtype='float8_e4m3fn': serving decodes stay deterministic and
+    well-formed with the slab stored in fp8."""
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(4)
+    K = cfg.n_codebooks
+    x = rng.integers(0, cfg.text_vocab_size, 9).astype(np.int32)
+    y = rng.integers(0, cfg.audio_vocab_size, (K, 18)).astype(np.int32)
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+    out1 = serve_tts_batch(params, cfg, [(x, y)], scfg, seed=0,
+                           kv_dtype="float8_e4m3fn")
+    out2 = serve_tts_batch(params, cfg, [(x, y)], scfg, seed=0,
+                           kv_dtype="float8_e4m3fn")
+    full, gen = out1[0]
+    np.testing.assert_array_equal(gen, out2[0][1])
+    np.testing.assert_array_equal(full[:, :y.shape[1]], y)
+    assert gen.shape[0] == K and (gen >= 0).all() and (gen < cfg.card).all()

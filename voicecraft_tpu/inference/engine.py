@@ -216,13 +216,19 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                 cache_b, rec_b, (0, 0, y_start + t0, 0, 0))
         cache = jax.vmap(flush_lane, in_axes=(2, 2, 0), out_axes=2)(
             cache, recent, t_start)
-        return cache, lanes, gen_buf
+        # packed per-lane status [B, 4]: one host transfer per burst instead
+        # of several eager dispatches (eager ops over a TPU tunnel are the
+        # dominant cost at small burst sizes)
+        status = jnp.stack(
+            [lanes.active.astype(jnp.int32), lanes.t, lanes.finish_t,
+             jnp.all(lanes.codebook_eog, axis=1).astype(jnp.int32)], axis=1)
+        return cache, lanes, gen_buf, status
 
     return jax.jit(burst_fn, donate_argnums=(1, 3))
 
 
 def make_prefill_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
-                    s_max: int):
+                    s_max: int, kv_dtype: Optional[str] = None):
     """Jitted: prefill one request and write its k/v into lane ``lane``.
 
     fn(params, cache, lane, x_tokens [1,x_pad], x_len, y_prefix [1,K,y_pad],
@@ -230,10 +236,12 @@ def make_prefill_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
     K, D = cfg.n_codebooks, cfg.d_model
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
     dtype = jnp.dtype(cfg.compute_dtype)
+    cache_dtype = jnp.dtype(kv_dtype) if kv_dtype else dtype
     Sp = x_pad + y_pad
     pe_np = sine_table(MAX_POS, D)
 
-    def prefill(params, cache, lane, x_tokens, x_len, y_prefix, prefix_len):
+    def prefill(params, cache, lanes: LaneState, lane, x_tokens, x_len,
+                y_prefix, prefix_len):
         pe = jnp.asarray(pe_np).astype(dtype)
         x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
         x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
@@ -244,16 +252,30 @@ def make_prefill_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
         key_valid = jnp.where(jj < x_pad, jj < x_len, jj < x_pad + prefix_len)
         allowed = (jj[None, :] <= jj[:, None]) & key_valid[None, :]
         bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
-        lane_cache = trm.init_kv_cache(L, 1, s_max, H, Dh, dtype)
+        lane_cache = trm.init_kv_cache(L, 1, s_max, H, Dh, cache_dtype)
         h, lane_cache = trm.prefill(params["decoder"], xy, bias, lane_cache,
                                     cfg.nhead)
         h_last = jax.lax.dynamic_slice_in_dim(h, x_pad + prefix_len - 1, 1, 1)
         logits0 = apply_heads(params["heads"], h_last)[0, 0]
         cache = jax.lax.dynamic_update_slice(
             cache, lane_cache, (0, 0, lane, 0, 0, 0))
-        return cache, logits0
+        # lane-state reset fused into the same executable — host-side
+        # .at[].set() chains cost ~10 eager dispatches per admission over a
+        # TPU tunnel
+        lanes = LaneState(
+            active=lanes.active.at[lane].set(True),
+            t=lanes.t.at[lane].set(0),
+            x_lens=lanes.x_lens.at[lane].set(x_len),
+            prefix_lens=lanes.prefix_lens.at[lane].set(prefix_len),
+            codebook_eog=lanes.codebook_eog.at[lane].set(False),
+            consec=lanes.consec.at[lane].set(0),
+            prev=lanes.prev.at[lane].set(-1),
+            finish_t=lanes.finish_t.at[lane].set(-1),
+            logits=lanes.logits.at[lane].set(logits0.astype(lanes.logits.dtype)),
+            rng=lanes.rng)
+        return cache, lanes
 
-    return jax.jit(prefill, donate_argnums=(1,))
+    return jax.jit(prefill, donate_argnums=(1, 2))
 
 
 @dataclass
@@ -275,6 +297,10 @@ class ContinuousBatcher:
     burst: int = 48
     scfg: SamplingConfig = field(default_factory=SamplingConfig)
     seed: int = 1
+    # 'float8_e4m3fn' stores the KV slab (and the in-burst recent buffer) in
+    # fp8 — every decode step reads the whole [B, S_max] slab, so this halves
+    # the dominant HBM traffic vs bf16 at a small attention-precision cost.
+    kv_dtype: Optional[str] = None
 
     def __post_init__(self):
         cfg = self.cfg
@@ -285,10 +311,13 @@ class ContinuousBatcher:
             cfg, batch_size=self.lanes, x_pad=self.x_pad, y_pad=self.y_pad,
             gen_max=self.gen_max, burst=self.burst, scfg=self.scfg)
         self._prefill_fn = make_prefill_fn(
-            cfg, x_pad=self.x_pad, y_pad=self.y_pad, s_max=self._s_max)
+            cfg, x_pad=self.x_pad, y_pad=self.y_pad, s_max=self._s_max,
+            kv_dtype=self.kv_dtype)
+        cache_dtype = (jnp.dtype(self.kv_dtype) if self.kv_dtype
+                       else jnp.dtype(cfg.compute_dtype))
         self._cache = trm.init_kv_cache(
             cfg.num_decoder_layers, self.lanes, self._s_max, cfg.nhead,
-            cfg.head_dim, jnp.dtype(cfg.compute_dtype))
+            cfg.head_dim, cache_dtype)
         self._lanes = _empty_lanes(self.lanes, K, cfg.card, self.seed)
         self._gen_buf = jnp.zeros((self.lanes, self.gen_max, K), jnp.int32)
         self._queue: List[Tuple[int, np.ndarray, np.ndarray]] = []
@@ -310,10 +339,9 @@ class ContinuousBatcher:
     def _admit(self):
         cfg = self.cfg
         K = cfg.n_codebooks
-        lanes = self._lanes
-        active = np.array(lanes.active)
         for b in range(self.lanes):
-            if active[b] or not self._queue:
+            # lane occupancy is tracked host-side (_lane_req) — no device read
+            if self._lane_req[b] is not None or not self._queue:
                 continue
             rid, x, y = self._queue.pop(0)
             prefix = spans.compose_tts_prefix(
@@ -324,33 +352,15 @@ class ContinuousBatcher:
             xt[0, :len(x)] = x
             yt = np.full((1, K, self.y_pad), cfg.empty_token, np.int32)
             yt[0, :, :prefix.length] = prefix.tokens
-            self._cache, logits0 = self._prefill_fn(
-                self.params, self._cache, b, jnp.asarray(xt),
+            self._cache, self._lanes = self._prefill_fn(
+                self.params, self._cache, self._lanes, b, jnp.asarray(xt),
                 jnp.asarray(len(x), jnp.int32), jnp.asarray(yt),
                 jnp.asarray(prefix.length, jnp.int32))
-            L = lanes
-            lanes = LaneState(
-                active=L.active.at[b].set(True),
-                t=L.t.at[b].set(0),
-                x_lens=L.x_lens.at[b].set(len(x)),
-                prefix_lens=L.prefix_lens.at[b].set(prefix.length),
-                codebook_eog=L.codebook_eog.at[b].set(False),
-                consec=L.consec.at[b].set(0),
-                prev=L.prev.at[b].set(-1),
-                finish_t=L.finish_t.at[b].set(-1),
-                logits=L.logits.at[b].set(logits0),
-                rng=L.rng)
             self._lane_req[b] = rid
-            active[b] = True
-        self._lanes = lanes
 
     def _retire(self):
-        lanes = self._lanes
-        finish_t = np.asarray(lanes.finish_t)
-        eog_all = np.asarray(jnp.all(lanes.codebook_eog, axis=1))
-        t = np.asarray(lanes.t)
-        active = np.asarray(lanes.active)
-        gen_np = None
+        status = np.asarray(self._status)        # [B, 4]: single transfer
+        active, t, finish_t, eog_all = status.T
         K = self.cfg.n_codebooks
         for b in range(self.lanes):
             rid = self._lane_req[b]
@@ -359,10 +369,9 @@ class ContinuousBatcher:
             done = eog_all[b] or t[b] >= self.gen_max - 1
             if not done:
                 continue
-            if gen_np is None:
-                gen_np = np.asarray(self._gen_buf)
             n = int(finish_t[b]) + 1 if finish_t[b] >= 0 else int(t[b]) + 1
-            rows = gen_np[b, :n]                 # [n, K]
+            # fetch only the finished lane's rows (rare; bounded transfer)
+            rows = np.asarray(self._gen_buf[b])[:n]
             if rows.shape[0] <= K:
                 gen = np.zeros((K, 0), np.int32)
             else:
@@ -383,8 +392,9 @@ class ContinuousBatcher:
         """Drain the queue; returns {request_id: (full_codes, gen_codes)}."""
         while self._queue or any(r is not None for r in self._lane_req):
             self._admit()
-            self._cache, self._lanes, self._gen_buf = self._burst_fn(
-                self.params, self._cache, self._lanes, self._gen_buf)
+            self._cache, self._lanes, self._gen_buf, self._status = \
+                self._burst_fn(self.params, self._cache, self._lanes,
+                               self._gen_buf)
             self._retire()
         out, self._results = self._results, {}
         return out

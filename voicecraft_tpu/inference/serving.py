@@ -146,9 +146,10 @@ def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
 
 
 @lru_cache(maxsize=8)
-def _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg):
+def _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg, kv_dtype=None):
     return make_serving_tts_loop(cfg, batch_size=B, x_pad=x_pad, y_pad=y_pad,
-                                 gen_max=gen_max, scfg=scfg)
+                                 gen_max=gen_max, scfg=scfg,
+                                 kv_dtype=kv_dtype)
 
 
 def _ceil(v, m):
@@ -160,6 +161,7 @@ def serve_tts_batch(params, cfg: ModelConfig,
                     scfg: SamplingConfig = SamplingConfig(),
                     seed: int = 1,
                     pads: Optional[Tuple[int, int, int]] = None,
+                    kv_dtype: Optional[str] = None,
                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Decode a batch of (x_tokens [Lx], y_codes [K, T]) requests.
 
@@ -187,7 +189,7 @@ def serve_tts_batch(params, cfg: ModelConfig,
         xt[b, :len(x)] = x
         yt[b, :, :p.length] = p.tokens
 
-    loop = _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg)
+    loop = _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg, kv_dtype)
     gen_buf, finish_t = loop(params, jnp.asarray(xt), jnp.asarray(x_lens),
                              jnp.asarray(yt), jnp.asarray(p_lens),
                              jax.random.PRNGKey(seed))
