@@ -50,6 +50,14 @@ def main():
                     help="engine burst size (steps between admission checks)")
     ap.add_argument("--kv-fp8", action="store_true",
                     help="store the KV slab in float8_e4m3 (serving/engine)")
+    ap.add_argument("--fused-ffn", action="store_true",
+                    help="route the decode FFN through the Pallas fused "
+                         "kernel (single-stream mode only)")
+    ap.add_argument("--no-pack-qkv", action="store_true",
+                    help="keep separate wq/wk/wv dots (default packs them "
+                         "into one [D,3D] matmul in fp8 mode)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="layer-scan unroll factor for the decode step")
     args = ap.parse_args()
     args.fp8 = not args.bf16
 
@@ -73,7 +81,7 @@ def main():
         lambda x: x.astype("bfloat16") if x.dtype == np.float32 else x, params)
     if args.fp8:
         from voicecraft_tpu.utils.quantize import quantize_decoder_fp8
-        params = quantize_decoder_fp8(params)
+        params = quantize_decoder_fp8(params, pack_qkv=not args.no_pack_qkv)
 
     rng = np.random.default_rng(0)
     K = cfg.n_codebooks
@@ -100,7 +108,9 @@ def main():
                           stop_repetition=3)
 
     loop = make_decode_loop(cfg, is_tts=True, x_pad=x_pad, y_pad=y_pad,
-                            gen_max=gen_max, scfg=scfg, bench_mode=True)
+                            gen_max=gen_max, scfg=scfg, bench_mode=True,
+                            fused_ffn=args.fused_ffn, unroll=args.unroll,
+                            kv_dtype="float8_e4m3fn" if args.kv_fp8 else None)
 
     import jax.numpy as jnp
     xt = np.full((1, x_pad), cfg.text_pad_token, np.int32)

@@ -137,3 +137,40 @@ def test_batcher_respects_token_budget():
     for batch in b.epoch_batches(0):
         max_len = max(lengths[i] for i in batch)
         assert len(batch) * max_len <= budget * 1.05, (len(batch), max_len)
+
+
+def test_tb_per_codebook_metrics(tmp_path):
+    """Per-codebook top10acc reaches TB with the reference's tags and
+    normalization (steps/trainer.py:284-287: acc_cbi / ntoken * K,
+    1-indexed), for both train and val."""
+    from voicecraft_tpu.training.trainer import Trainer
+
+    class FakeTB:
+        def __init__(self):
+            self.scalars = {}
+
+        def add_scalar(self, tag, value, step):
+            self.scalars.setdefault(tag, []).append((step, float(value)))
+
+    root = str(tmp_path / "data")
+    cfg = _make_dataset(root)
+    tcfg = dataclasses.replace(_tcfg(root, tmp_path), num_steps=3,
+                               val_every_n_steps=2, tb_write_every_n_steps=1)
+    tb = FakeTB()
+    tr = Trainer(cfg, tcfg, tb_writer=tb)
+    tr.train()
+    K = cfg.n_codebooks
+    for prefix in ("train", "val"):
+        assert f"{prefix}/top10acc" in tb.scalars, tb.scalars.keys()
+        for ci in range(1, K + 1):
+            tag = f"{prefix}/top10acc_cb{ci}"
+            assert tag in tb.scalars, (tag, sorted(tb.scalars))
+            for _, v in tb.scalars[tag]:
+                assert 0.0 <= v <= 1.0 + 1e-6
+    # per-codebook values average (weighted equally) to the aggregate
+    t_all = dict(tb.scalars["train/top10acc"])
+    for step, v in t_all.items():
+        cbs = [dict(tb.scalars[f"train/top10acc_cb{c}"]).get(step)
+               for c in range(1, K + 1)]
+        if all(c is not None for c in cbs):
+            np.testing.assert_allclose(np.mean(cbs), v, rtol=1e-5)

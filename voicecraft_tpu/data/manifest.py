@@ -179,7 +179,13 @@ class DynamicBatcher:
                     batches.append(b)
         perm = np.random.default_rng(self.seed + epoch + 1).permutation(len(batches))
         batches = [batches[i] for i in perm]
-        return batches[self.host::self.num_hosts]
+        mine = batches[self.host::self.num_hosts]
+        if self.num_hosts > 1:
+            # every host must run the SAME number of steps per epoch or the
+            # collectives deadlock — truncate to the global minimum (a
+            # host-local computation: all hosts see the same global list)
+            mine = mine[:len(batches) // self.num_hosts]
+        return mine
 
 
 # ==============================================================================

@@ -115,9 +115,7 @@ def _lane_decode_step(params, x_t, cache, recent, j_cur, nhead, x_lens,
         h_in = carry
         layer_p, layer_cache, layer_recent = scanned
         h = trm.layer_norm(layer_p["ln1"], h_in)
-        q = trm._proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
-        k = trm._proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
-        v = trm._proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        q, k, v = trm.qkv_proj(layer_p["attn"], h)
         k_new = k.reshape(B, 1, H, Dh)
         v_new = v.reshape(B, 1, H, Dh)
         a = _three_part_attention(

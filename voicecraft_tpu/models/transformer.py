@@ -94,6 +94,18 @@ def _proj(x, w, b):
                    preferred_element_type=jnp.float32).astype(x.dtype) + b.astype(x.dtype)
 
 
+def qkv_proj(attn_p, h):
+    """q/k/v projections; supports the packed single-dot layout produced by
+    utils/quantize.py(pack_qkv=True) — one [D, 3D] matmul instead of three,
+    fewer op boundaries on the latency-bound batch-1 decode step."""
+    if "wqkv" in attn_p:
+        qkv = _proj(h, attn_p["wqkv"], attn_p["bqkv"])
+        return jnp.split(qkv, 3, axis=-1)
+    return (_proj(h, attn_p["wq"], attn_p["bq"]),
+            _proj(h, attn_p["wk"], attn_p["bk"]),
+            _proj(h, attn_p["wv"], attn_p["bv"]))
+
+
 def _dropout(x, rate, rng):
     if rate <= 0.0 or rng is None:
         return x
@@ -111,9 +123,7 @@ def apply_layer(p, x, bias, nhead: int, dropout: float = 0.0, rng=None):
     callable attn_fn(q, k, v, dropout_rng) (e.g. chunked/flash attention)."""
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
     h = layer_norm(p["ln1"], x)
-    q = _proj(h, p["attn"]["wq"], p["attn"]["bq"])
-    k = _proj(h, p["attn"]["wk"], p["attn"]["bk"])
-    v = _proj(h, p["attn"]["wv"], p["attn"]["bv"])
+    q, k, v = qkv_proj(p["attn"], h)
     if callable(bias):
         a = bias(q, k, v, rngs[0])
     else:
@@ -168,9 +178,7 @@ def prefill(params, x, bias, cache, nhead: int):
     def body(carry, layer_p):
         h_in = carry
         h = layer_norm(layer_p["ln1"], h_in)
-        q = _proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
-        k = _proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
-        v = _proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        q, k, v = qkv_proj(layer_p["attn"], h)
         a = mha(q, k, v, bias, nhead)
         a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
@@ -204,9 +212,7 @@ def decode_step(params, x_t, cache, pos, nhead: int,
         h_in = carry
         layer_p, layer_cache = scanned
         h = layer_norm(layer_p["ln1"], h_in)
-        q = _proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
-        k = _proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
-        v = _proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        q, k, v = qkv_proj(layer_p["attn"], h)
         k_slab = jax.lax.dynamic_update_slice(
             layer_cache[0], k.reshape(B, 1, H, Dh).astype(layer_cache.dtype),
             (0, pos, 0, 0))
@@ -229,7 +235,8 @@ def decode_step(params, x_t, cache, pos, nhead: int,
 
 
 def decode_step_fast(params, x_t, cache, pos, nhead: int,
-                     x_len=None, x_pad: int | None = None):
+                     x_len=None, x_pad: int | None = None,
+                     fused_ffn: bool = False, unroll: int = 1):
     """One autoregressive step with a WRITE-ONCE cache update.
 
     Unlike :func:`decode_step`, the layer scan reads the slab read-only and
@@ -237,6 +244,9 @@ def decode_step_fast(params, x_t, cache, pos, nhead: int,
     dynamic_update_slice then writes all L layers' new k/v at ``pos``.  This
     avoids rebuilding the (large) slab once per layer per step, which costs
     hundreds of MB of HBM traffic at 830M scale.
+
+    ``fused_ffn`` routes the feed-forward through the Pallas fused kernel
+    (ops/fused_decode.py) — one kernel streaming w1/w2 tiles through VMEM.
     """
     L, _, B, S_max, H, Dh = cache.shape
 
@@ -244,9 +254,7 @@ def decode_step_fast(params, x_t, cache, pos, nhead: int,
         h_in = carry
         layer_p, layer_cache = scanned
         h = layer_norm(layer_p["ln1"], h_in)
-        q = _proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
-        k = _proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
-        v = _proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        q, k, v = qkv_proj(layer_p["attn"], h)
         k_new = k.reshape(B, 1, H, Dh)
         v_new = v.reshape(B, 1, H, Dh)
         a = decode_attention_self(
@@ -255,14 +263,25 @@ def decode_step_fast(params, x_t, cache, pos, nhead: int,
         a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
         h2 = layer_norm(layer_p["ln2"], x1)
-        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
-        h2 = jax.nn.relu(h2)
-        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        if fused_ffn:
+            from ..ops.fused_decode import fused_ffn as _fused
+            h2 = _fused(h2[:, 0], layer_p["ffn"]["lin1"]["w"],
+                        layer_p["ffn"]["lin1"]["b"],
+                        layer_p["ffn"]["lin2"]["w"],
+                        layer_p["ffn"]["lin2"]["b"])[:, None]
+        else:
+            h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
+            h2 = jax.nn.relu(h2)
+            h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
         out = x1 + h2
         kv = jnp.stack([k_new, v_new], axis=0).astype(cache.dtype)  # [2,B,1,H,Dh]
         return out, kv
 
-    x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache))
+    # unroll > 1 lets XLA software-pipeline the next layer's weight fetch
+    # behind the current layer's compute — a rolled scan serializes the HBM
+    # stream at every layer boundary (batch-1 decode is bandwidth-bound)
+    x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache),
+                             unroll=unroll)
     # kv_new: [L, 2, B, 1, H, Dh] — one small write for the whole step
     cache = jax.lax.dynamic_update_slice(cache, kv_new, (0, 0, 0, pos, 0, 0))
     return layer_norm(params["final_ln"], x), cache
@@ -278,9 +297,7 @@ def decode_step_multi(params, x_t, cache, pos, nhead: int,
         h_in = carry
         layer_p, layer_cache = scanned
         h = layer_norm(layer_p["ln1"], h_in)
-        q = _proj(h, layer_p["attn"]["wq"], layer_p["attn"]["bq"])
-        k = _proj(h, layer_p["attn"]["wk"], layer_p["attn"]["bk"])
-        v = _proj(h, layer_p["attn"]["wv"], layer_p["attn"]["bv"])
+        q, k, v = qkv_proj(layer_p["attn"], h)
         k_new = k.reshape(B, 1, H, Dh)
         v_new = v.reshape(B, 1, H, Dh)
         a = decode_attention_multi(

@@ -351,7 +351,8 @@ def _adjust_and_sample(cfg: ModelConfig, scfg: SamplingConfig, is_tts: bool,
 def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
                      y_pad: int, gen_max: int, scfg: SamplingConfig,
                      max_spans: Optional[int] = None,
-                     bench_mode: bool = False):
+                     bench_mode: bool = False, fused_ffn: bool = False,
+                     kv_dtype: Optional[str] = None, unroll: int = 1):
     """Build the jitted single-sample decode function.
 
     Static geometry: x padded to ``x_pad``, composed y prefix padded to
@@ -369,6 +370,7 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
     K, D = cfg.n_codebooks, cfg.d_model
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
     dtype = jnp.dtype(cfg.compute_dtype)
+    cache_dtype = jnp.dtype(kv_dtype) if kv_dtype else dtype
     cap_mult = (cfg.encodec_sr // 5) if is_tts else 10  # voicecraft.py:1042,751
     if max_spans is None:
         max_spans = cfg.max_n_spans
@@ -398,7 +400,7 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
         allowed = (jnp.arange(Sp)[None, :] <= qi) & key_valid[None, :]
         bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
 
-        cache = trm.init_kv_cache(L, 1, s_max, H, Dh, dtype)
+        cache = trm.init_kv_cache(L, 1, s_max, H, Dh, cache_dtype)
         h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)
         h_last = jax.lax.dynamic_slice_in_dim(h, x_pad + prefix_len - 1, 1, axis=1)
         logits0 = apply_heads(params["heads"], h_last)[:, 0]  # [1, K, card]
@@ -500,7 +502,8 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
                 pe, s.y_pos, 1, axis=0)[0])[None, None, :]
             h, cache = trm.decode_step_fast(params["decoder"], feed, s.cache,
                                        s.pos, cfg.nhead,
-                                       x_len=x_len, x_pad=x_pad)
+                                       x_len=x_len, x_pad=x_pad,
+                                       fused_ffn=fused_ffn, unroll=unroll)
             logits = apply_heads(params["heads"], h)[:, 0]
 
             return DecodeState(cache, logits, rng, s.pos + 1, s.y_pos + 1,

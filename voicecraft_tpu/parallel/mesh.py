@@ -87,7 +87,15 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
+    """Place a host-local batch on the mesh, sharded over 'data'.
+
+    Multi-process: each host contributes its local batch as its shard of the
+    global array (all hosts must present identical local shapes — the
+    Trainer pads to fixed dims in distributed mode)."""
     def put(x):
-        return jax.device_put(
-            x, NamedSharding(mesh, batch_pspec(x.ndim)))
+        sharding = NamedSharding(mesh, batch_pspec(x.ndim))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     return jax.tree.map(put, batch)

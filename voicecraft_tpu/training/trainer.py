@@ -52,6 +52,34 @@ def _pad_batch(batch, B_target: int):
         target_valid=pad(batch.target_valid, False))
 
 
+def _pad_batch_full(batch, mcfg, B_t: int, Sx_t: int, Sy_t: int):
+    """Pad a TrainBatch to fixed (B_t, Sx_t, Sy_t) dims.  Multi-host
+    training needs every host to present identical local shapes (the global
+    batch is one GSPMD array); padded rows are fully masked, padded time
+    slots carry pad tokens / target_valid=False so they contribute
+    nothing."""
+    from ..models.voicecraft import TrainBatch
+    B, Sx = batch.x.shape
+    Sy = batch.y_tokens.shape[2]
+    assert B <= B_t and Sx <= Sx_t and Sy <= Sy_t, \
+        ((B, Sx, Sy), (B_t, Sx_t, Sy_t))
+
+    def pad(a, widths, fill):
+        return jnp.pad(a, widths, constant_values=fill)
+
+    return TrainBatch(
+        x=pad(batch.x, ((0, B_t - B), (0, Sx_t - Sx)), mcfg.text_pad_token),
+        x_lens=pad(jnp.maximum(batch.x_lens, 1), ((0, B_t - B),), 1),
+        y_tokens=pad(batch.y_tokens,
+                     ((0, B_t - B), (0, 0), (0, Sy_t - Sy)),
+                     mcfg.audio_pad_token),
+        y_lens=pad(jnp.maximum(batch.y_lens, 1), ((0, B_t - B),), 1),
+        mask_emb_idx=pad(batch.mask_emb_idx,
+                         ((0, B_t - B), (0, Sy_t - Sy)), -1),
+        target_valid=pad(batch.target_valid,
+                         ((0, B_t - B), (0, 0), (0, Sy_t - Sy)), False))
+
+
 class Trainer:
     def __init__(self, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None,
                  tb_writer=None):
@@ -150,13 +178,21 @@ class Trainer:
         return os.path.join(os.path.abspath(self.tcfg.exp_dir), "ckpt_" + tag)
 
     def save(self, tag: str = "latest"):
+        """Checkpoint to exp_dir.  In multi-process runs EVERY process must
+        call this (orbax coordinates internally and the primary writes);
+        guarding with process_index==0 deadlocks the save barrier.  The meta
+        json + dir swap are primary-only."""
         import orbax.checkpoint as ocp
         path = self._ckpt_dir(tag)
         with ocp.StandardCheckpointer() as ckptr:
+            # rng is a host-local single-device array — store as numpy (a
+            # replicated host value) or multihost serialization rejects it
             ckptr.save(path + ".tmp_ocp",
                        {"params": self.params, "opt_state": self.opt_state,
-                        "rng": self.rng},
+                        "rng": np.asarray(self.rng)},
                        force=True)
+        if jax.process_index() != 0:
+            return
         if os.path.exists(path):
             import shutil
             shutil.rmtree(path)
@@ -181,7 +217,7 @@ class Trainer:
             restored = ckptr.restore(path, target)
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
-        self.rng = restored["rng"]
+        self.rng = jnp.asarray(restored["rng"], jnp.uint32)
         self.progress.update(meta["progress"])
         log.info("resumed from %s at step %d (epoch %d, batch %d)",
                  path, self.progress["step"], self.progress["epoch"],
@@ -232,12 +268,23 @@ class Trainer:
                     flag = False
                     break
                 data_time = time.time() - data_t0
+                distributed = jax.process_count() > 1
                 if batch is None:
-                    self.progress["batch_in_epoch"] = bi + 1
-                    continue
+                    if not distributed:
+                        self.progress["batch_in_epoch"] = bi + 1
+                        continue
+                    # multi-host: skipping only here would desync the hosts
+                    # at the next collective — run a fully-masked dummy step
+                    batch = self._empty_batch()
                 gas = t.gradient_accumulation_steps
                 if gas > 1 and batch.x.shape[0] % gas != 0:
                     batch = _pad_batch(batch, -(-batch.x.shape[0] // gas) * gas)
+                if distributed:
+                    # identical local shapes on every host (one GSPMD array)
+                    B_t, Sx_t, Sy_t = self._fixed_dims()
+                    if gas > 1:
+                        B_t = -(-B_t // gas) * gas
+                    batch = _pad_batch_full(batch, self.mcfg, B_t, Sx_t, Sy_t)
                 if self.mesh is not None:
                     from ..parallel.mesh import shard_batch
                     batch = shard_batch(batch, self.mesh)
@@ -263,6 +310,14 @@ class Trainer:
                     self.tb.add_scalar("train/lr", float(self.lr_fn(step)), step)
                     self.tb.add_scalar("train/top10acc",
                                        float(metrics["top10acc"]) / ntok, step)
+                    # per-codebook accuracy, reference tag/normalization
+                    # (steps/trainer.py:284-287: acc_cbi / ntoken * K,
+                    # 1-indexed tags)
+                    acc_cb = np.asarray(metrics["top10acc_by_codebook"])
+                    for ci, a in enumerate(acc_cb):
+                        self.tb.add_scalar(
+                            f"train/top10acc_cb{ci + 1}",
+                            float(a) * len(acc_cb) / ntok, step)
                 if step % t.print_every_n_steps == 0:
                     log.info("step %d/%d epoch %d loss %.4f acc %.4f "
                              "lr %.2e data %.2fs step %.2fs",
@@ -287,37 +342,94 @@ class Trainer:
             break
         self.validate_and_save()
 
+    def _fixed_dims(self):
+        """Host-agnostic (B, Sx, Sy) caps for multi-host fixed-shape batches
+        — derived from the (shared) dataset + config only, so every host
+        computes the same values without communication."""
+        if not hasattr(self, "_fixed_dims_cache"):
+            m, t = self.mcfg, self.tcfg
+            lens = list(self.train_ds.lengths)
+            if self.valid_ds is not None:
+                lens += list(self.valid_ds.lengths)
+            ceil64 = lambda v: -(-int(v) // 64) * 64
+            Sy = ceil64(max(lens) + 2 * m.max_n_spans + m.n_codebooks + 2)
+            Sx = t.text_max_length if t.pad_x else -(-t.text_max_length // 16) * 16
+            B = max(1, -(-t.max_num_tokens // max(min(lens), 1)) + 1)
+            # the GLOBAL batch (B x process_count) must divide the mesh's
+            # data axis -> per-host B must divide the local device count
+            ld = max(jax.local_device_count(), 1)
+            B = -(-B // ld) * ld
+            self._fixed_dims_cache = (B, Sx, Sy)
+        return self._fixed_dims_cache
+
+    def _empty_batch(self):
+        """A fully-masked batch with the fixed distributed dims."""
+        from ..models.voicecraft import TrainBatch
+        m = self.mcfg
+        B, Sx, Sy = self._fixed_dims()
+        K = m.n_codebooks
+        return TrainBatch(
+            x=jnp.full((B, Sx), m.text_pad_token, jnp.int32),
+            x_lens=jnp.ones((B,), jnp.int32),
+            y_tokens=jnp.full((B, K, Sy), m.audio_pad_token, jnp.int32),
+            y_lens=jnp.ones((B,), jnp.int32),
+            mask_emb_idx=jnp.full((B, Sy), -1, jnp.int32),
+            target_valid=jnp.zeros((B, K, Sy), bool))
+
     def validate(self) -> float:
         if self.valid_ds is None:
             return float("nan")
-        losses, ntoks = [], []
+        losses, ntoks, accs = [], [], []
+        acc_cb = None
         batches = self.valid_batcher.epoch_batches(0)
         from ..models.voicecraft import forward_train
         eval_fn = jax.jit(lambda p, b: forward_train(p, self.mcfg, b,
                                                      rng=None, remat=False))
+        distributed = jax.process_count() > 1
         for bi, idxs in enumerate(batches[:50]):
             rng_host = self._host_rng(10 ** 6, bi)
             batch = collate_train(self.valid_ds, idxs, rng_host)
             if batch is None:
-                continue
+                if not distributed:
+                    continue
+                batch = self._empty_batch()
+            if distributed:
+                batch = _pad_batch_full(batch, self.mcfg, *self._fixed_dims())
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+                batch = shard_batch(batch, self.mesh)
             out = eval_fn(self.params, batch)
             losses.append(float(out["loss"]))
             ntoks.append(float(out["effective_ntoken"]))
+            accs.append(float(out["top10acc"]))
+            cb = np.asarray(out["top10acc_by_codebook"], np.float64)
+            acc_cb = cb if acc_cb is None else acc_cb + cb
         if not ntoks:
             return float("nan")
-        return sum(losses) / max(sum(ntoks), 1.0)
+        ntok = max(sum(ntoks), 1.0)
+        score = sum(losses) / ntok
+        if self.tb:
+            step = self.progress["step"]
+            self.tb.add_scalar("val/loss", score, step)
+            self.tb.add_scalar("val/top10acc", sum(accs) / ntok, step)
+            # reference steps/trainer.py:284-287 (1-indexed, x n_codebooks)
+            for ci, a in enumerate(acc_cb):
+                self.tb.add_scalar(f"val/top10acc_cb{ci + 1}",
+                                   float(a) * len(acc_cb) / ntok, step)
+        return score
 
     def validate_and_save(self):
         score = self.validate()
         step = self.progress["step"]
         self.progress["history"].append(
             [step, score, time.time() - self.start_time])
+        # all processes enter save() — orbax coordinates the single write
+        self.save("latest")
+        if np.isfinite(score) and score < self.progress["best_score"]:
+            self.progress["best_score"] = score
+            self.progress["best_step"] = step
+            self.save("best")
         if jax.process_index() == 0:
-            self.save("latest")
-            if np.isfinite(score) and score < self.progress["best_score"]:
-                self.progress["best_score"] = score
-                self.progress["best_step"] = step
-                self.save("best")
             log.info("validate: step %d score %.5f (best %.5f @ %d)",
                      step, score, self.progress["best_score"],
                      self.progress["best_step"])

@@ -41,17 +41,32 @@ def dequant_dot(x: jnp.ndarray, w, preferred=jnp.float32) -> jnp.ndarray:
     return y * w["scale"].reshape(w["scale"].shape[-1]).astype(y.dtype)
 
 
-def quantize_decoder_fp8(params: dict) -> dict:
+def quantize_decoder_fp8(params: dict, pack_qkv: bool = False) -> dict:
     """Quantize the decoder matmul weights + prediction heads of a voicecraft
-    params pytree.  Returns a new pytree (embeddings/norms untouched)."""
+    params pytree.  Returns a new pytree (embeddings/norms untouched).
+
+    ``pack_qkv`` fuses wq|wk|wv into one [L, D, 3D] matrix (and the biases
+    into bqkv) so decode does one dot instead of three — fewer op boundaries
+    for the latency-bound batch-1 step.  Column-wise fp8 scales commute with
+    the concat, so packing before quantizing is exact."""
     out = dict(params)
     dec = dict(params["decoder"])
     layers = dict(dec["layers"])
     attn = dict(layers["attn"])
-    for k in ("wq", "wk", "wv"):
-        attn[k] = _quantize_matrix(layers["attn"][k])
-    attn["out"] = {"w": _quantize_matrix(layers["attn"]["out"]["w"]),
-                   "b": layers["attn"]["out"]["b"]}
+    if pack_qkv:
+        import jax.numpy as jnp
+        wqkv = jnp.concatenate([layers["attn"][k]
+                                for k in ("wq", "wk", "wv")], axis=-1)
+        attn = {"wqkv": _quantize_matrix(wqkv),
+                "bqkv": jnp.concatenate(
+                    [layers["attn"][b] for b in ("bq", "bk", "bv")], axis=-1),
+                "out": dict(layers["attn"]["out"])}
+    else:
+        for k in ("wq", "wk", "wv"):
+            attn[k] = _quantize_matrix(layers["attn"][k])
+        attn["out"] = dict(layers["attn"]["out"])
+    attn["out"] = {"w": _quantize_matrix(attn["out"]["w"]),
+                   "b": attn["out"]["b"]}
     layers["attn"] = attn
     ffn = {"lin1": {"w": _quantize_matrix(layers["ffn"]["lin1"]["w"]),
                     "b": layers["ffn"]["lin1"]["b"]},
