@@ -85,3 +85,42 @@ def test_forward_train_chunked_matches_dense():
     out_c = vc.forward_train(params, cfg_c, b, remat=False)
     np.testing.assert_allclose(float(out_c["loss"]), float(out_d["loss"]),
                                rtol=1e-4)
+
+
+def test_prefill_with_flash_callable_matches_dense():
+    """trm.prefill accepts a callable attention (the long-prompt flash
+    wiring): outputs and cache must match the dense-bias path."""
+    import jax
+    import jax.numpy as jnp
+    from voicecraft_tpu.models import transformer as trm
+    from voicecraft_tpu.ops.attention import NEG_INF
+    from voicecraft_tpu.ops.flash_attention import flash_prefix_attention
+
+    B, S, D, H, L = 2, 128, 64, 4, 2
+    x_pad = 48
+    rng = np.random.default_rng(0)
+    params = trm.init_stack(jax.random.PRNGKey(0), L, D, 4 * D)
+    x = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+    x_lens = jnp.asarray([30, 41], jnp.int32)
+    y_lens = jnp.asarray([60, 70], jnp.int32)
+
+    jj = jnp.arange(S)
+    key_valid = ((jj[None, :] < x_lens[:, None])
+                 | ((jj[None, :] >= x_pad)
+                    & (jj[None, :] < x_pad + y_lens[:, None])))
+    allowed = (jj[None, :] <= jj[:, None])[None] & key_valid[:, None, :]
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+
+    cache0 = trm.init_kv_cache(L, B, S, H, D // H, jnp.float32)
+    h_dense, c_dense = trm.prefill(params, x, bias, cache0, H)
+
+    attn = lambda q, k, v: flash_prefix_attention(
+        q, k, v, x_lens, y_lens, x_pad, H, block_q=64, block_k=64,
+        interpret=True)
+    h_flash, c_flash = trm.prefill(params, x, attn,
+                                   trm.init_kv_cache(L, B, S, H, D // H,
+                                                     jnp.float32), H)
+    np.testing.assert_allclose(np.asarray(h_flash), np.asarray(h_dense),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(c_flash), np.asarray(c_dense),
+                               rtol=2e-4, atol=2e-4)

@@ -246,10 +246,19 @@ def make_prefill_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
         y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
         y_in = y_emb + params["alpha_audio"].astype(dtype) * pe[:y_pad]
         xy = jnp.concatenate([x_in, y_in], axis=1)
-        jj = jnp.arange(Sp)
-        key_valid = jnp.where(jj < x_pad, jj < x_len, jj < x_pad + prefix_len)
-        allowed = (jj[None, :] <= jj[:, None]) & key_valid[None, :]
-        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        if use_flash_prefill(Sp):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v, jnp.atleast_1d(x_len), jnp.atleast_1d(prefix_len),
+                x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(Sp)
+            key_valid = jnp.where(jj < x_pad, jj < x_len,
+                                  jj < x_pad + prefix_len)
+            allowed = (jj[None, :] <= jj[:, None]) & key_valid[None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[None, None]
         lane_cache = trm.init_kv_cache(L, 1, s_max, H, Dh, cache_dtype)
         h, lane_cache = trm.prefill(params["decoder"], xy, bias, lane_cache,
                                     cfg.nhead)

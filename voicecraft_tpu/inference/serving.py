@@ -83,12 +83,19 @@ def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
         y_in = y_emb + alpha_a * pe[:y_pad]
         xy = jnp.concatenate([x_in, y_in], axis=1)          # [B, y_start, D]
 
-        jj = jnp.arange(y_start)
-        key_valid = ((jj[None, :] < x_lens[:, None])
-                     | ((jj[None, :] >= x_pad)
-                        & (jj[None, :] < x_pad + prefix_lens[:, None])))
-        allowed = (jj[None, :] <= jj[:, None])[None] & key_valid[:, None, :]
-        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        if use_flash_prefill(y_start):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v, x_lens, prefix_lens, x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(y_start)
+            key_valid = ((jj[None, :] < x_lens[:, None])
+                         | ((jj[None, :] >= x_pad)
+                            & (jj[None, :] < x_pad + prefix_lens[:, None])))
+            allowed = (jj[None, :] <= jj[:, None])[None] & key_valid[:, None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[:, None]
 
         cache = trm.init_kv_cache(L, B, s_max, H, Dh, cache_dtype)
         h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)

@@ -170,7 +170,9 @@ def init_kv_cache(num_layers: int, batch: int, s_max: int, nhead: int,
 def prefill(params, x, bias, cache, nhead: int):
     """Full-sequence forward that also fills cache[:, :, :, :S].
 
-    x: [B, S, D]; returns (hidden [B, S, D], cache)."""
+    x: [B, S, D]; returns (hidden [B, S, D], cache).  ``bias`` is an
+    additive-bias array for the dense path or a callable attn_fn(q, k, v)
+    (e.g. ops.flash_attention.flash_prefix_attention for long prompts)."""
     B, S, D = x.shape
     H = nhead
     Dh = D // H
@@ -179,7 +181,7 @@ def prefill(params, x, bias, cache, nhead: int):
         h_in = carry
         h = layer_norm(layer_p["ln1"], h_in)
         q, k, v = qkv_proj(layer_p["attn"], h)
-        a = mha(q, k, v, bias, nhead)
+        a = bias(q, k, v) if callable(bias) else mha(q, k, v, bias, nhead)
         a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
         h2 = layer_norm(layer_p["ln2"], x1)

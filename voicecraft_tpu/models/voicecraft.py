@@ -394,11 +394,20 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
         xy = jnp.concatenate([x_in, y_in], axis=1)          # [1, x_pad+y_pad, D]
 
         Sp = x_pad + y_pad
-        jj = jnp.arange(Sp)
-        key_valid = jnp.where(jj < x_pad, jj < x_len, jj < x_pad + prefix_len)
-        qi = jnp.arange(Sp)[:, None]
-        allowed = (jnp.arange(Sp)[None, :] <= qi) & key_valid[None, :]
-        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        if use_flash_prefill(Sp):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v, jnp.atleast_1d(x_len), jnp.atleast_1d(prefix_len),
+                x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(Sp)
+            key_valid = jnp.where(jj < x_pad, jj < x_len,
+                                  jj < x_pad + prefix_len)
+            qi = jnp.arange(Sp)[:, None]
+            allowed = (jnp.arange(Sp)[None, :] <= qi) & key_valid[None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[None, None]
 
         cache = trm.init_kv_cache(L, 1, s_max, H, Dh, cache_dtype)
         h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)
@@ -633,10 +642,21 @@ def make_batch_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
         xy = jnp.broadcast_to(xy, (B,) + xy.shape[1:])
 
         Sp = x_pad + y_pad
-        jj = jnp.arange(Sp)
-        key_valid = jnp.where(jj < x_pad, jj < x_len, jj < x_pad + prefix_len)
-        allowed = (jj[None, :] <= jj[:, None]) & key_valid[None, :]
-        bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        if use_flash_prefill(Sp):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v,
+                jnp.broadcast_to(jnp.atleast_1d(x_len), (B,)),
+                jnp.broadcast_to(jnp.atleast_1d(prefix_len), (B,)),
+                x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(Sp)
+            key_valid = jnp.where(jj < x_pad, jj < x_len,
+                                  jj < x_pad + prefix_len)
+            allowed = (jj[None, :] <= jj[:, None]) & key_valid[None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[None, None]
 
         cache = trm.init_kv_cache(L, B, s_max, H, Dh, dtype)
         h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)

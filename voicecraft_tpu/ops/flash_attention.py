@@ -23,6 +23,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# prefill crossover measured on v5e (PERF.md): dense mha wins below ~1k
+# (flash's per-call overhead), flash wins above (11% at S=2048) and never
+# materialises the [B,H,S,S] logits (128 MB at S=2048 bf16)
+FLASH_PREFILL_MIN_LEN = 1024
+
+
+def use_flash_prefill(seq_len: int) -> bool:
+    """Route prefill through the Pallas kernel?  TPU-only (the kernel needs
+    Mosaic; CPU tests exercise it via interpret=True separately)."""
+    return (seq_len >= FLASH_PREFILL_MIN_LEN
+            and jax.default_backend() == "tpu")
+
 
 def _flash_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int,
                   s_kv: int, x_pad: int, scale: float):
