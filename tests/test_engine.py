@@ -111,7 +111,8 @@ def test_engine_fp8_kv_cache():
         eng.submit(*reqs[0])
         eng._admit()
         eng._cache, eng._lanes, eng._gen_buf, _ = eng._burst_fn(
-            eng.params, eng._cache, eng._lanes, eng._gen_buf)
+            eng.params, eng._cache, eng._lanes, eng._gen_buf,
+            jax.numpy.asarray(1, jax.numpy.int32))
         lane_logits[kv] = np.asarray(eng._lanes.logits[0])
     ref, fp8 = lane_logits[None], lane_logits["float8_e4m3fn"]
     denom = np.maximum(np.abs(ref).max(), 1e-6)

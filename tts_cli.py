@@ -36,6 +36,9 @@ def main():
                     help="MFA alignment CSV: snap --prompt-end-sec to a word "
                          "boundary and truncate the prompt transcript "
                          "(reference tts_demo.py find_closest_word_boundary)")
+    ap.add_argument("--snap-cutoff", action="store_true",
+                    help="snap --prompt-end-sec to a word boundary using the "
+                         "in-process aligner (no MFA CSV needed)")
     ap.add_argument("--margin", type=float, default=0.04)
     ap.add_argument("--cutoff-tolerance", type=float, default=1.0)
     # sampling defaults per reference README.md:24 (post 03/2025)
@@ -79,12 +82,22 @@ def main():
             wav0, 16000)
         logging.info("transcribed prompt: %s", args.prompt_transcript)
 
-    if args.mfa_csv and args.prompt_end_sec > 0:
-        import csv as _csv
+    if args.prompt_end_sec > 0 and (args.mfa_csv or args.snap_cutoff):
         from voicecraft_tpu.inference.tts import find_closest_word_boundary
-        with open(args.mfa_csv) as f:
-            rdr = _csv.DictReader(f)
-            rows = [(r["Begin"], r["End"]) for r in rdr]
+        if args.mfa_csv:
+            import csv as _csv
+            with open(args.mfa_csv) as f:
+                rdr = _csv.DictReader(f)
+                rows = [(r["Begin"], r["End"]) for r in rdr]
+        else:
+            # no MFA CSV: word boundaries from the in-process aligner
+            # (predict.py-style; align.py Whisper timestamps or energy VAD)
+            from voicecraft_tpu.align import align_words
+            wav0 = au.load_audio(args.prompt_wav, ccfg.sample_rate)
+            arows = align_words(wav0, ccfg.sample_rate,
+                                args.prompt_transcript.strip().lower(),
+                                asr_model_path=args.asr_model)
+            rows = [(r["Begin"], r["End"]) for r in arows]
         snapped, idx = find_closest_word_boundary(
             rows, args.prompt_end_sec, args.margin, args.cutoff_tolerance)
         if snapped is not None:

@@ -158,63 +158,90 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
             cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl),
         in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
 
-    def burst_fn(params, cache, lanes: LaneState, gen_buf):
+    def burst_fn(params, cache, lanes: LaneState, gen_buf, max_bursts):
         pe = jnp.asarray(pe_np).astype(dtype)
         alpha_a = params["alpha_audio"].astype(dtype)
         L_, _, B_, S_, H_, Dh_ = cache.shape
-        t_start = lanes.t                      # frozen cache-validity bound
-        recent = jnp.zeros((L_, 2, B_, burst, H_, Dh_), cache.dtype)
 
-        def step(carry, j):
-            recent, s, gen_buf = carry
-            rng, step_rng = jax.random.split(s.rng)
-            lane_rngs = jax.random.split(step_rng, B)
-            y_pos = s.prefix_lens + s.t
-            samples, new_eog, consec, prev = sample_lane(
-                lane_rngs, s.logits, s.codebook_eog, s.t, s.consec,
-                s.prev, y_pos, s.x_lens)
-            live = s.active & jnp.logical_not(jnp.all(s.codebook_eog, 1))
-            samples = jnp.where(live[:, None], samples, cfg.empty_token)
-            new_eog = jnp.where(live[:, None], new_eog, s.codebook_eog)
-            consec = jnp.where(live, consec, s.consec)
-            prev = jnp.where(live, prev, s.prev)
+        def one_burst(cache, lanes, gen_buf):
+            t_start = lanes.t                  # frozen cache-validity bound
+            recent0 = jnp.zeros((L_, 2, B_, burst, H_, Dh_), cache.dtype)
 
-            lane_done = jnp.all(new_eog, axis=1) & live
-            finish_t = jnp.where(lane_done, s.t, s.finish_t)
+            def step(carry, j):
+                recent, s, gen_buf = carry
+                rng, step_rng = jax.random.split(s.rng)
+                lane_rngs = jax.random.split(step_rng, B)
+                y_pos = s.prefix_lens + s.t
+                samples, new_eog, consec, prev = sample_lane(
+                    lane_rngs, s.logits, s.codebook_eog, s.t, s.consec,
+                    s.prev, y_pos, s.x_lens)
+                live = s.active & jnp.logical_not(jnp.all(s.codebook_eog, 1))
+                samples = jnp.where(live[:, None], samples, cfg.empty_token)
+                new_eog = jnp.where(live[:, None], new_eog, s.codebook_eog)
+                consec = jnp.where(live, consec, s.consec)
+                prev = jnp.where(live, prev, s.prev)
 
-            # record per-lane at row t; restore old rows for non-live lanes
-            new_gen = jax.vmap(
-                lambda g, sm, t: jax.lax.dynamic_update_slice(
-                    g, sm[None], (t, 0)))(gen_buf, samples,
-                                          jnp.where(live, s.t, 0))
-            gen_buf = jnp.where(live[:, None, None], new_gen, gen_buf)
+                lane_done = jnp.all(new_eog, axis=1) & live
+                finish_t = jnp.where(lane_done, s.t, s.finish_t)
 
-            feed_emb = embed_audio_tokens(
-                params["audio_emb"], samples[:, :, None])[:, 0].astype(dtype)
-            feed = feed_emb + alpha_a * jnp.take(
-                pe, jnp.minimum(y_pos, MAX_POS - 1), axis=0)
-            h, recent = _lane_decode_step(
-                params["decoder"], feed[:, None, :], cache, recent, j,
-                cfg.nhead, s.x_lens, x_pad, s.prefix_lens, y_start, t_start)
-            logits = apply_heads(params["heads"], h)[:, 0]
-            logits = jnp.where(live[:, None, None], logits, s.logits)
+                # record per-lane at row t; restore old rows for dead lanes
+                new_gen = jax.vmap(
+                    lambda g, sm, t: jax.lax.dynamic_update_slice(
+                        g, sm[None], (t, 0)))(gen_buf, samples,
+                                              jnp.where(live, s.t, 0))
+                gen_buf = jnp.where(live[:, None, None], new_gen, gen_buf)
 
-            t = jnp.where(live, jnp.minimum(s.t + 1, gen_max - 1), s.t)
-            new_s = LaneState(s.active, t, s.x_lens, s.prefix_lens, new_eog,
-                              consec, prev, finish_t, logits, rng)
-            return (recent, new_s, gen_buf), None
+                feed_emb = embed_audio_tokens(
+                    params["audio_emb"], samples[:, :, None])[:, 0].astype(dtype)
+                feed = feed_emb + alpha_a * jnp.take(
+                    pe, jnp.minimum(y_pos, MAX_POS - 1), axis=0)
+                h, recent = _lane_decode_step(
+                    params["decoder"], feed[:, None, :], cache, recent, j,
+                    cfg.nhead, s.x_lens, x_pad, s.prefix_lens, y_start,
+                    t_start)
+                logits = apply_heads(params["heads"], h)[:, 0]
+                logits = jnp.where(live[:, None, None], logits, s.logits)
 
-        (recent, lanes, gen_buf), _ = jax.lax.scan(
-            step, (recent, lanes, gen_buf), jnp.arange(burst))
+                t = jnp.where(live, jnp.minimum(s.t + 1, gen_max - 1), s.t)
+                new_s = LaneState(s.active, t, s.x_lens, s.prefix_lens,
+                                  new_eog, consec, prev, finish_t, logits,
+                                  rng)
+                return (recent, new_s, gen_buf), None
 
-        # flush the burst-recent buffer into the big slab: per-lane offset,
-        # once per burst (amortised)
-        def flush_lane(cache_b, rec_b, t0):
-            return jax.lax.dynamic_update_slice(
-                cache_b, rec_b, (0, 0, y_start + t0, 0, 0))
-        cache = jax.vmap(flush_lane, in_axes=(2, 2, 0), out_axes=2)(
-            cache, recent, t_start)
-        # packed per-lane status [B, 4]: one host transfer per burst instead
+            (recent, lanes, gen_buf), _ = jax.lax.scan(
+                step, (recent0, lanes, gen_buf), jnp.arange(burst))
+
+            # flush the burst-recent buffer into the big slab: per-lane
+            # offset, once per burst (amortised)
+            def flush_lane(cache_b, rec_b, t0):
+                return jax.lax.dynamic_update_slice(
+                    cache_b, rec_b, (0, 0, y_start + t0, 0, 0))
+            cache = jax.vmap(flush_lane, in_axes=(2, 2, 0), out_axes=2)(
+                cache, recent, t_start)
+            return cache, lanes, gen_buf
+
+        # device-side drain: keep bursting until a lane finishes (the host
+        # only needs control for retire/admit) or max_bursts runs out —
+        # each host round-trip over the TPU tunnel costs ~a burst's compute
+        def drain_cond(state):
+            n, cache, lanes, gen_buf = state
+            finished = lanes.active & jnp.all(lanes.codebook_eog, axis=1)
+            capped = lanes.active & (lanes.t >= gen_max - 1)
+            return ((n < max_bursts) & jnp.any(lanes.active)
+                    & jnp.logical_not(jnp.any(finished | capped)))
+
+        def drain_body(state):
+            n, cache, lanes, gen_buf = state
+            cache, lanes, gen_buf = one_burst(cache, lanes, gen_buf)
+            return n + 1, cache, lanes, gen_buf
+
+        # always run at least one burst, then drain while nothing retires
+        cache, lanes, gen_buf = one_burst(cache, lanes, gen_buf)
+        _, cache, lanes, gen_buf = jax.lax.while_loop(
+            drain_cond, drain_body, (jnp.asarray(1, jnp.int32), cache,
+                                     lanes, gen_buf))
+
+        # packed per-lane status [B, 4]: one host transfer per call instead
         # of several eager dispatches (eager ops over a TPU tunnel are the
         # dominant cost at small burst sizes)
         status = jnp.stack(
@@ -397,11 +424,17 @@ class ContinuousBatcher:
 
     def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         """Drain the queue; returns {request_id: (full_codes, gen_codes)}."""
+        drain_cap = -(-self.gen_max // self.burst) + 1
         while self._queue or any(r is not None for r in self._lane_req):
             self._admit()
+            # with requests waiting, come back after one burst so freed
+            # lanes admit promptly; otherwise drain on-device until a lane
+            # finishes (each host round-trip costs ~a burst of compute)
+            max_bursts = 1 if self._queue else drain_cap
             self._cache, self._lanes, self._gen_buf, self._status = \
                 self._burst_fn(self.params, self._cache, self._lanes,
-                               self._gen_buf)
+                               self._gen_buf,
+                               jnp.asarray(max_bursts, jnp.int32))
             self._retire()
         out, self._results = self._results, {}
         return out
