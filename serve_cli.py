@@ -64,6 +64,10 @@ class Engine:
         self.args = args
         self.cfg, self.params, self.phn2num = load_model(
             args.model, args.random_init, args.seed)
+        if getattr(args, "fp8", False):
+            from voicecraft_tpu.utils.quantize import quantize_decoder_fp8
+            self.params = quantize_decoder_fp8(self.params, pack_qkv=True)
+            log.info("serving with weight-only fp8 decoder (packed qkv)")
         self.ccfg, self.cparams = load_codec(args.codec, args.random_init)
         self.tok = make_text_tokenizer(args.language, args.text_backend)
         self.queue: "queue.Queue" = queue.Queue()
@@ -183,8 +187,9 @@ class Engine:
 
         seed = int(req.get("seed", self.args.seed))
         scfg = self._scfg(req)
+        sbs = int(req.get("sample_batch_size", 1))
         slots = [{"x": self._phonemize(t), "codes": codes, "scfg": scfg,
-                  "seed": seed + i, "done": threading.Event(),
+                  "seed": seed + i, "sbs": sbs, "done": threading.Event(),
                   "result": None} for i, t in enumerate(targets)]
         self._decode_sentences(slots)
 
@@ -246,7 +251,8 @@ class Engine:
 
     def _batch_worker(self):
         from voicecraft_tpu.inference.serving import serve_tts_batch
-        from voicecraft_tpu.inference.tts import inference_tts
+        from voicecraft_tpu.inference.tts import (inference_tts,
+                                                  inference_tts_batch)
         while True:
             slots = [self.queue.get()]
             deadline = time.time() + self.args.batch_window_ms / 1000.0
@@ -260,9 +266,17 @@ class Engine:
                 with self.lock:
                     if len(slots) == 1:
                         s = slots[0]
-                        s["result"] = inference_tts(
-                            self.params, self.cfg, s["x"], s["codes"],
-                            s["scfg"], seed=s["seed"])
+                        # best-of-N (reference sample_batch_size) for a lone
+                        # request; concurrent requests share lanes instead
+                        if s.get("sbs", 1) > 1:
+                            s["result"] = inference_tts_batch(
+                                self.params, self.cfg, s["x"], s["codes"],
+                                s["scfg"], batch_size=s["sbs"],
+                                seed=s["seed"])
+                        else:
+                            s["result"] = inference_tts(
+                                self.params, self.cfg, s["x"], s["codes"],
+                                s["scfg"], seed=s["seed"])
                     else:
                         outs = serve_tts_batch(
                             self.params, self.cfg,
@@ -518,6 +532,8 @@ def main():
     ap.add_argument("--asr-model", default=None,
                     help="local Whisper snapshot dir for transcription/"
                          "alignment (else the energy aligner is used)")
+    ap.add_argument("--fp8", action="store_true",
+                    help="weight-only fp8 decoder (serving quantization)")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()

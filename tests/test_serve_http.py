@@ -159,3 +159,14 @@ def test_tts_smart_transcript(server):
     assert "wav_b64" in r and r["gen_sec"] > 0
     # the smart transcript stitches aligned prompt words before the text
     assert r["inference_transcript"].endswith("hello there")
+
+
+def test_tts_sample_batch_size(server):
+    """Best-of-N sampling for a lone request (reference sample_batch_size)."""
+    b64 = _prompt_b64()
+    r = _post(server, "/tts", {
+        "prompt_wav_b64": b64, "prompt_end_sec": 1.0,
+        "prompt_transcript": "a test prompt",
+        "target_transcript": "short line", "top_k": 15,
+        "sample_batch_size": 2, "silence_tokens": [5, 7]})
+    assert "wav_b64" in r and r["gen_sec"] > 0
