@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--num-seeds", type=int, default=1,
                     help="write one output per seed (reference _new_seed{n})")
+    ap.add_argument("--wer", action="store_true",
+                    help="score edited audio against new_transcript with "
+                         "ASR WER (needs --asr-model)")
+    ap.add_argument("--asr-model", default=None,
+                    help="local Whisper snapshot dir for --wer")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--language", default="en-us")
     ap.add_argument("--text-backend", default="auto")
@@ -70,6 +75,7 @@ def main():
                           silence_tokens=tuple(args.silence_tokens))
 
     n_ok = 0
+    wers = []
     for i, row in enumerate(rows):
         try:
             wav_fn = row["wav_fn"]
@@ -109,6 +115,14 @@ def main():
                 out_fn = os.path.join(args.out_dir,
                                       f"{stem}_new_seed{args.seed + s}.wav")
                 au.write_wav(out_fn, out, ccfg.sample_rate)
+                if args.wer:
+                    from voicecraft_tpu.utils.transcribe import make_transcriber
+                    from tts_batch_cli import word_error_rate
+                    hyp = make_transcriber(args.asr_model).transcribe(
+                        out, ccfg.sample_rate)
+                    w = word_error_rate(row["new_transcript"], hyp)
+                    wers.append(w)
+                    logging.info("  seed %d WER %.3f", args.seed + s, w)
             n_ok += 1
             logging.info("[%d/%d] %s: spans -> frames %s, ok",
                          i + 1, len(rows), wav_fn, intervals)
@@ -116,6 +130,9 @@ def main():
             logging.warning("[%d/%d] %s failed: %s", i + 1, len(rows),
                             row.get("wav_fn"), e)
     logging.info("done: %d/%d edited", n_ok, len(rows))
+    if wers:
+        logging.info("mean WER over %d outputs: %.4f", len(wers),
+                     float(np.mean(wers)))
 
 
 if __name__ == "__main__":

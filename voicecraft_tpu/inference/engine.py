@@ -252,60 +252,71 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
     return jax.jit(burst_fn, donate_argnums=(1, 3))
 
 
-def make_prefill_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
-                    s_max: int, kv_dtype: Optional[str] = None):
-    """Jitted: prefill one request and write its k/v into lane ``lane``.
+def make_prefill_batch_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
+                          y_pad: int, s_max: int,
+                          kv_dtype: Optional[str] = None):
+    """Jitted: prefill a WAVE of admissions in one call.
 
-    fn(params, cache, lane, x_tokens [1,x_pad], x_len, y_prefix [1,K,y_pad],
-       prefix_len) -> (cache, logits0 [K, card])."""
+    fn(params, cache, lanes, admit [B] bool, x_tokens [B,x_pad], x_lens [B],
+       y_prefix [B,K,y_pad], prefix_lens [B]) -> (cache, lanes).
+
+    All B lanes are prefilled (static shapes); only lanes with ``admit``
+    True have their cache slab and lane state overwritten.  One dispatch
+    admits a whole wave instead of B sequential host round-trips.
+    """
     K, D = cfg.n_codebooks, cfg.d_model
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    B = batch_size
     dtype = jnp.dtype(cfg.compute_dtype)
     cache_dtype = jnp.dtype(kv_dtype) if kv_dtype else dtype
     Sp = x_pad + y_pad
     pe_np = sine_table(MAX_POS, D)
 
-    def prefill(params, cache, lanes: LaneState, lane, x_tokens, x_len,
-                y_prefix, prefix_len):
+    def prefill(params, cache, lanes: LaneState, admit, x_tokens, x_lens,
+                y_prefix, prefix_lens):
         pe = jnp.asarray(pe_np).astype(dtype)
         x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
         x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
         y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
         y_in = y_emb + params["alpha_audio"].astype(dtype) * pe[:y_pad]
-        xy = jnp.concatenate([x_in, y_in], axis=1)
+        xy = jnp.concatenate([x_in, y_in], axis=1)           # [B, Sp, D]
+
         from ..ops.flash_attention import (flash_prefix_attention,
                                            use_flash_prefill)
         if use_flash_prefill(Sp):
             bias = lambda q, k, v: flash_prefix_attention(
-                q, k, v, jnp.atleast_1d(x_len), jnp.atleast_1d(prefix_len),
-                x_pad, cfg.nhead)
+                q, k, v, x_lens, prefix_lens, x_pad, cfg.nhead)
         else:
             jj = jnp.arange(Sp)
-            key_valid = jnp.where(jj < x_pad, jj < x_len,
-                                  jj < x_pad + prefix_len)
-            allowed = (jj[None, :] <= jj[:, None]) & key_valid[None, :]
+            key_valid = ((jj[None, :] < x_lens[:, None])
+                         | ((jj[None, :] >= x_pad)
+                            & (jj[None, :] < x_pad + prefix_lens[:, None])))
+            allowed = (jj[None, :] <= jj[:, None])[None] & key_valid[:, None, :]
             bias = jnp.where(allowed, 0.0,
-                             NEG_INF).astype(jnp.float32)[None, None]
-        lane_cache = trm.init_kv_cache(L, 1, s_max, H, Dh, cache_dtype)
-        h, lane_cache = trm.prefill(params["decoder"], xy, bias, lane_cache,
-                                    cfg.nhead)
-        h_last = jax.lax.dynamic_slice_in_dim(h, x_pad + prefix_len - 1, 1, 1)
-        logits0 = apply_heads(params["heads"], h_last)[0, 0]
-        cache = jax.lax.dynamic_update_slice(
-            cache, lane_cache, (0, 0, lane, 0, 0, 0))
-        # lane-state reset fused into the same executable — host-side
-        # .at[].set() chains cost ~10 eager dispatches per admission over a
-        # TPU tunnel
+                             NEG_INF).astype(jnp.float32)[:, None]
+
+        new_cache = trm.init_kv_cache(L, B, s_max, H, Dh, cache_dtype)
+        h, new_cache = trm.prefill(params["decoder"], xy, bias, new_cache,
+                                   cfg.nhead)
+        last_idx = x_pad + prefix_lens - 1                   # [B]
+        h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)
+        logits0 = apply_heads(params["heads"], h_last)[:, 0]  # [B, K, card]
+
+        m = admit
+        cache = jnp.where(m[None, None, :, None, None, None], new_cache,
+                          cache)
         lanes = LaneState(
-            active=lanes.active.at[lane].set(True),
-            t=lanes.t.at[lane].set(0),
-            x_lens=lanes.x_lens.at[lane].set(x_len),
-            prefix_lens=lanes.prefix_lens.at[lane].set(prefix_len),
-            codebook_eog=lanes.codebook_eog.at[lane].set(False),
-            consec=lanes.consec.at[lane].set(0),
-            prev=lanes.prev.at[lane].set(-1),
-            finish_t=lanes.finish_t.at[lane].set(-1),
-            logits=lanes.logits.at[lane].set(logits0.astype(lanes.logits.dtype)),
+            active=jnp.where(m, True, lanes.active),
+            t=jnp.where(m, 0, lanes.t),
+            x_lens=jnp.where(m, x_lens, lanes.x_lens),
+            prefix_lens=jnp.where(m, prefix_lens, lanes.prefix_lens),
+            codebook_eog=jnp.where(m[:, None], False, lanes.codebook_eog),
+            consec=jnp.where(m, 0, lanes.consec),
+            prev=jnp.where(m, -1, lanes.prev),
+            finish_t=jnp.where(m, -1, lanes.finish_t),
+            logits=jnp.where(m[:, None, None],
+                             logits0.astype(lanes.logits.dtype),
+                             lanes.logits),
             rng=lanes.rng)
         return cache, lanes
 
@@ -344,9 +355,9 @@ class ContinuousBatcher:
         self._burst_fn = make_burst_fn(
             cfg, batch_size=self.lanes, x_pad=self.x_pad, y_pad=self.y_pad,
             gen_max=self.gen_max, burst=self.burst, scfg=self.scfg)
-        self._prefill_fn = make_prefill_fn(
-            cfg, x_pad=self.x_pad, y_pad=self.y_pad, s_max=self._s_max,
-            kv_dtype=self.kv_dtype)
+        self._prefill_fn = make_prefill_batch_fn(
+            cfg, batch_size=self.lanes, x_pad=self.x_pad, y_pad=self.y_pad,
+            s_max=self._s_max, kv_dtype=self.kv_dtype)
         cache_dtype = (jnp.dtype(self.kv_dtype) if self.kv_dtype
                        else jnp.dtype(cfg.compute_dtype))
         self._cache = trm.init_kv_cache(
@@ -371,8 +382,17 @@ class ContinuousBatcher:
     # ---- internals -----------------------------------------------------------
 
     def _admit(self):
+        """Admit queued requests into free lanes — a whole wave of
+        admissions runs as ONE jitted prefill (masked per lane)."""
         cfg = self.cfg
         K = cfg.n_codebooks
+        B = self.lanes
+        admit = np.zeros((B,), bool)
+        xt = np.full((B, self.x_pad), cfg.text_pad_token, np.int32)
+        x_lens = np.ones((B,), np.int32)
+        yt = np.full((B, K, self.y_pad), cfg.empty_token, np.int32)
+        p_lens = np.ones((B,), np.int32)
+        pending = []
         for b in range(self.lanes):
             # lane occupancy is tracked host-side (_lane_req) — no device read
             if self._lane_req[b] is not None or not self._queue:
@@ -382,14 +402,19 @@ class ContinuousBatcher:
                 y + (cfg.n_special if cfg.special_first else 0), cfg)
             assert len(x) <= self.x_pad and prefix.length <= self.y_pad, \
                 (len(x), prefix.length, self.x_pad, self.y_pad)
-            xt = np.full((1, self.x_pad), cfg.text_pad_token, np.int32)
-            xt[0, :len(x)] = x
-            yt = np.full((1, K, self.y_pad), cfg.empty_token, np.int32)
-            yt[0, :, :prefix.length] = prefix.tokens
-            self._cache, self._lanes = self._prefill_fn(
-                self.params, self._cache, self._lanes, b, jnp.asarray(xt),
-                jnp.asarray(len(x), jnp.int32), jnp.asarray(yt),
-                jnp.asarray(prefix.length, jnp.int32))
+            admit[b] = True
+            xt[b, :len(x)] = x
+            x_lens[b] = len(x)
+            yt[b, :, :prefix.length] = prefix.tokens
+            p_lens[b] = prefix.length
+            pending.append((b, rid))
+        if not pending:
+            return
+        self._cache, self._lanes = self._prefill_fn(
+            self.params, self._cache, self._lanes, jnp.asarray(admit),
+            jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
+            jnp.asarray(p_lens))
+        for b, rid in pending:
             self._lane_req[b] = rid
 
     def _retire(self):
