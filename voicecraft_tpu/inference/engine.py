@@ -323,6 +323,78 @@ def make_prefill_batch_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
     return jax.jit(prefill, donate_argnums=(1, 2))
 
 
+def make_prefill_lane_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
+                         s_max: int, kv_dtype: Optional[str] = None):
+    """Jitted: prefill ONE lane (the common mid-flight refill case).
+
+    The wave prefill (make_prefill_batch_fn) computes a [B, Sp] forward and
+    rewrites the whole [L,2,B,S_max] cache through a jnp.where — fine for the
+    startup wave, wasteful when a single lane frees: at 32 lanes / 830M
+    that's ~an extra 85 ms of prefill FLOPs plus a multi-GB cache rewrite
+    per admission.  This variant computes [1, Sp] and writes one lane's slab
+    with a dynamic_update_slice.
+
+    fn(params, cache, lanes, lane_idx (scalar), x_tokens [1,x_pad], x_len,
+       y_prefix [1,K,y_pad], prefix_len) -> (cache, lanes).
+    """
+    K, D = cfg.n_codebooks, cfg.d_model
+    H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cache_dtype = jnp.dtype(kv_dtype) if kv_dtype else dtype
+    Sp = x_pad + y_pad
+    pe_np = sine_table(MAX_POS, D)
+
+    def prefill(params, cache, lanes: LaneState, lane_idx, x_tokens, x_len,
+                y_prefix, prefix_len):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
+        x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
+        y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
+        y_in = y_emb + params["alpha_audio"].astype(dtype) * pe[:y_pad]
+        xy = jnp.concatenate([x_in, y_in], axis=1)           # [1, Sp, D]
+
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        x_lens1 = jnp.atleast_1d(x_len)
+        p_lens1 = jnp.atleast_1d(prefix_len)
+        if use_flash_prefill(Sp):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v, x_lens1, p_lens1, x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(Sp)
+            key_valid = jnp.where(jj < x_pad, jj < x_len,
+                                  jj < x_pad + prefix_len)
+            allowed = (jj[None, :] <= jj[:, None]) & key_valid[None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[None, None]
+
+        lane_cache = trm.init_kv_cache(L, 1, s_max, H, Dh, cache_dtype)
+        h, lane_cache = trm.prefill(params["decoder"], xy, bias, lane_cache,
+                                    cfg.nhead)
+        h_last = jax.lax.dynamic_slice_in_dim(h, x_pad + prefix_len - 1, 1,
+                                              axis=1)
+        logits0 = apply_heads(params["heads"], h_last)[:, 0]  # [1, K, card]
+
+        cache = jax.lax.dynamic_update_slice(
+            cache, lane_cache, (0, 0, lane_idx, 0, 0, 0))
+        b = lane_idx
+        lanes = LaneState(
+            active=lanes.active.at[b].set(True),
+            t=lanes.t.at[b].set(0),
+            x_lens=lanes.x_lens.at[b].set(x_len),
+            prefix_lens=lanes.prefix_lens.at[b].set(prefix_len),
+            codebook_eog=lanes.codebook_eog.at[b].set(False),
+            consec=lanes.consec.at[b].set(0),
+            prev=lanes.prev.at[b].set(-1),
+            finish_t=lanes.finish_t.at[b].set(-1),
+            logits=lanes.logits.at[b].set(
+                logits0[0].astype(lanes.logits.dtype)),
+            rng=lanes.rng)
+        return cache, lanes
+
+    return jax.jit(prefill, donate_argnums=(1, 2))
+
+
 @dataclass
 class ContinuousBatcher:
     """Host-side orchestrator: admit requests into free lanes between bursts.
@@ -358,6 +430,9 @@ class ContinuousBatcher:
         self._prefill_fn = make_prefill_batch_fn(
             cfg, batch_size=self.lanes, x_pad=self.x_pad, y_pad=self.y_pad,
             s_max=self._s_max, kv_dtype=self.kv_dtype)
+        self._prefill_lane_fn = make_prefill_lane_fn(
+            cfg, x_pad=self.x_pad, y_pad=self.y_pad, s_max=self._s_max,
+            kv_dtype=self.kv_dtype)
         cache_dtype = (jnp.dtype(self.kv_dtype) if self.kv_dtype
                        else jnp.dtype(cfg.compute_dtype))
         self._cache = trm.init_kv_cache(
@@ -382,17 +457,16 @@ class ContinuousBatcher:
     # ---- internals -----------------------------------------------------------
 
     def _admit(self):
-        """Admit queued requests into free lanes — a whole wave of
-        admissions runs as ONE jitted prefill (masked per lane)."""
+        """Admit queued requests into free lanes.
+
+        Big waves (more than half the lanes — in practice the startup wave)
+        run as ONE jitted batch prefill; small refill waves use the
+        single-lane prefill, which skips the [B, Sp] forward and the
+        whole-cache rewrite."""
         cfg = self.cfg
         K = cfg.n_codebooks
         B = self.lanes
-        admit = np.zeros((B,), bool)
-        xt = np.full((B, self.x_pad), cfg.text_pad_token, np.int32)
-        x_lens = np.ones((B,), np.int32)
-        yt = np.full((B, K, self.y_pad), cfg.empty_token, np.int32)
-        p_lens = np.ones((B,), np.int32)
-        pending = []
+        pending = []      # (lane, rid, x, prefix)
         for b in range(self.lanes):
             # lane occupancy is tracked host-side (_lane_req) — no device read
             if self._lane_req[b] is not None or not self._queue:
@@ -402,19 +476,37 @@ class ContinuousBatcher:
                 y + (cfg.n_special if cfg.special_first else 0), cfg)
             assert len(x) <= self.x_pad and prefix.length <= self.y_pad, \
                 (len(x), prefix.length, self.x_pad, self.y_pad)
-            admit[b] = True
-            xt[b, :len(x)] = x
-            x_lens[b] = len(x)
-            yt[b, :, :prefix.length] = prefix.tokens
-            p_lens[b] = prefix.length
-            pending.append((b, rid))
+            pending.append((b, rid, x, prefix))
         if not pending:
             return
-        self._cache, self._lanes = self._prefill_fn(
-            self.params, self._cache, self._lanes, jnp.asarray(admit),
-            jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
-            jnp.asarray(p_lens))
-        for b, rid in pending:
+        if len(pending) > self.lanes // 2:
+            admit = np.zeros((B,), bool)
+            xt = np.full((B, self.x_pad), cfg.text_pad_token, np.int32)
+            x_lens = np.ones((B,), np.int32)
+            yt = np.full((B, K, self.y_pad), cfg.empty_token, np.int32)
+            p_lens = np.ones((B,), np.int32)
+            for b, rid, x, prefix in pending:
+                admit[b] = True
+                xt[b, :len(x)] = x
+                x_lens[b] = len(x)
+                yt[b, :, :prefix.length] = prefix.tokens
+                p_lens[b] = prefix.length
+            self._cache, self._lanes = self._prefill_fn(
+                self.params, self._cache, self._lanes, jnp.asarray(admit),
+                jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
+                jnp.asarray(p_lens))
+        else:
+            for b, rid, x, prefix in pending:
+                xt = np.full((1, self.x_pad), cfg.text_pad_token, np.int32)
+                xt[0, :len(x)] = x
+                yt = np.full((1, K, self.y_pad), cfg.empty_token, np.int32)
+                yt[0, :, :prefix.length] = prefix.tokens
+                self._cache, self._lanes = self._prefill_lane_fn(
+                    self.params, self._cache, self._lanes,
+                    jnp.asarray(b, jnp.int32), jnp.asarray(xt),
+                    jnp.asarray(len(x), jnp.int32), jnp.asarray(yt),
+                    jnp.asarray(prefix.length, jnp.int32))
+        for b, rid, _, _ in pending:
             self._lane_req[b] = rid
 
     def _retire(self):
@@ -449,17 +541,19 @@ class ContinuousBatcher:
 
     def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         """Drain the queue; returns {request_id: (full_codes, gen_codes)}."""
+        # After _admit() either the queue is empty or every lane is busy, and
+        # a lane only frees when one finishes — which is exactly the drain
+        # loop's exit condition.  So the device can always drain until a
+        # retirement: syncing back after every burst (the old
+        # queue-non-empty policy) bought no earlier admissions, only ~1 host
+        # round-trip per burst over the TPU tunnel.
         drain_cap = -(-self.gen_max // self.burst) + 1
         while self._queue or any(r is not None for r in self._lane_req):
             self._admit()
-            # with requests waiting, come back after one burst so freed
-            # lanes admit promptly; otherwise drain on-device until a lane
-            # finishes (each host round-trip costs ~a burst of compute)
-            max_bursts = 1 if self._queue else drain_cap
             self._cache, self._lanes, self._gen_buf, self._status = \
                 self._burst_fn(self.params, self._cache, self._lanes,
                                self._gen_buf,
-                               jnp.asarray(max_bursts, jnp.int32))
+                               jnp.asarray(drain_cap, jnp.int32))
             self._retire()
         out, self._results = self._results, {}
         return out
