@@ -65,6 +65,15 @@ class ModelConfig:
     # loss
     codebook_weight: Optional[Tuple[float, ...]] = None
 
+    # multi-token prediction heads for speculative decoding (no reference
+    # equivalent; PAPERS.md arXiv 2410.13839).  n_mtp extra per-codebook
+    # head groups predict tokens at offsets +2..+(n_mtp+1) from each hidden
+    # state; they are auxiliary-only (base weights and main loss unchanged
+    # when mtp_detach=1) so checkpoints stay reference-compatible.
+    n_mtp: int = 0
+    mtp_weight: float = 0.5
+    mtp_detach: int = 1
+
     # TPU-specific compute policy (no reference equivalent; replaces fp16
     # autocast + GradScaler, reference steps/trainer.py:45,90)
     compute_dtype: str = "bfloat16"

@@ -164,6 +164,69 @@ def inference_tts_batch(params, cfg: ModelConfig, x_tokens: np.ndarray,
     return full, gen
 
 
+@lru_cache(maxsize=16)
+def _get_spec_loop(cfg: ModelConfig, x_pad: int, y_pad: int, gen_max: int,
+                   scfg: SamplingConfig, n_draft: int):
+    from ..models.voicecraft import make_spec_decode_loop
+    return make_spec_decode_loop(cfg, x_pad=x_pad, y_pad=y_pad,
+                                 gen_max=gen_max, scfg=scfg, n_draft=n_draft)
+
+
+def inference_tts_spec(params, cfg: ModelConfig, x_tokens: np.ndarray,
+                       y_codes: np.ndarray,
+                       scfg: SamplingConfig = SamplingConfig(),
+                       n_draft: int = 4, seed: int = 1,
+                       gen_max: Optional[int] = None,
+                       return_stats: bool = False):
+    """Speculative zero-shot TTS via the model's MTP heads.
+
+    Greedy (temperature<=0) output is bit-identical to :func:`inference_tts`;
+    sampled output is an equally-valid draw under a per-token-index key
+    schedule (see make_spec_decode_loop).  ``n_draft-1`` must not exceed the
+    checkpoint's ``n_mtp``.  Returns (full, gen) like inference_tts, plus a
+    stats dict (passes, tokens/pass) when ``return_stats``.
+    """
+    K = cfg.n_codebooks
+    if n_draft > 1 and "mtp_heads" not in params:
+        raise ValueError("speculative decoding needs params['mtp_heads'] "
+                         "(train with n_mtp > 0)")
+    if cfg.special_first:
+        y_codes = y_codes + cfg.n_special
+    prefix = spans.compose_tts_prefix(y_codes, cfg)
+    x_len = len(x_tokens)
+    cap_mult = cfg.encodec_sr // 5
+    if gen_max is None:
+        gen_max = max(x_len * cap_mult - prefix.length + K + 8, 2 * K + 8)
+    gen_max = _round_up(gen_max, 128)
+    x_pad = _round_up(x_len, 32)
+    y_pad = _round_up(prefix.length, 64)
+
+    xt = np.full((1, x_pad), cfg.text_pad_token, np.int32)
+    xt[0, :x_len] = x_tokens
+    yt = np.full((1, K, y_pad), cfg.empty_token, np.int32)
+    yt[0, :, :prefix.length] = prefix.tokens
+
+    loop = _get_spec_loop(cfg, x_pad, y_pad, gen_max, scfg, n_draft)
+    gen_buf, gen_cnt, n_passes = loop(
+        params, jnp.asarray(xt), jnp.asarray(x_len, jnp.int32),
+        jnp.asarray(yt), jnp.asarray(prefix.length, jnp.int32),
+        jax.random.PRNGKey(seed))
+    rows = np.asarray(gen_buf)[:int(gen_cnt)]                # [n, K]
+    if rows.shape[0] <= K:
+        gen = np.zeros((K, 0), np.int32)
+    else:
+        gen = patterns.unshift_span(rows.T).astype(np.int32)
+    full = np.concatenate([y_codes, gen], axis=1)
+    if cfg.special_first:
+        full = full - cfg.n_special
+        gen = gen - cfg.n_special
+    if return_stats:
+        stats = {"passes": int(n_passes), "tokens": int(gen_cnt),
+                 "tokens_per_pass": float(int(gen_cnt) / max(int(n_passes), 1))}
+        return full, gen, stats
+    return full, gen
+
+
 def inference_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
                   y_codes: np.ndarray, scfg: SamplingConfig = SamplingConfig(),
                   seed: int = 1, gen_max: Optional[int] = None

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import (mha, decode_attention, decode_attention_self,
+                             decode_attention_self_block,
                              decode_attention_multi)
 
 
@@ -285,6 +286,51 @@ def decode_step_fast(params, x_t, cache, pos, nhead: int,
     x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache),
                              unroll=unroll)
     # kv_new: [L, 2, B, 1, H, Dh] — one small write for the whole step
+    cache = jax.lax.dynamic_update_slice(cache, kv_new, (0, 0, 0, pos, 0, 0))
+    return layer_norm(params["final_ln"], x), cache
+
+
+def decode_step_block(params, x_t, cache, pos, nhead: int,
+                      x_len=None, x_pad: int | None = None):
+    """Feed T tokens in ONE forward against the KV slab (speculative decode).
+
+    Same write-once structure as :func:`decode_step_fast`, but the new block
+    attends causally within itself (ops.attention.decode_attention_self_block)
+    and all T tokens' k/v are written at [pos, pos+T).  The caller rewinds by
+    simply moving ``pos`` back — entries beyond the accepted prefix are never
+    read because attention masks keys at j >= kv_len.
+
+    x_t: [B, T, D]; returns (hidden [B, T, D], new cache).
+
+    One pass costs the same weight reads as a single decode step (the
+    batch-1 bottleneck) and T× the FLOPs — the economics behind multi-token
+    speculative decoding (PAPERS.md: arXiv 2410.13839).
+    """
+    L, _, B, S_max, H, Dh = cache.shape
+    T = x_t.shape[1]
+
+    def body(carry, scanned):
+        h_in = carry
+        layer_p, layer_cache = scanned
+        h = layer_norm(layer_p["ln1"], h_in)
+        q, k, v = qkv_proj(layer_p["attn"], h)
+        k_new = k.reshape(B, T, H, Dh)
+        v_new = v.reshape(B, T, H, Dh)
+        a = decode_attention_self_block(
+            q, layer_cache[0].astype(q.dtype), layer_cache[1].astype(q.dtype),
+            pos, k_new, v_new, nhead, x_len=x_len, x_pad=x_pad)
+        a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
+        x1 = h_in + a
+        h2 = layer_norm(layer_p["ln2"], x1)
+        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
+        h2 = jax.nn.relu(h2)
+        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        out = x1 + h2
+        kv = jnp.stack([k_new, v_new], axis=0).astype(cache.dtype)  # [2,B,T,H,Dh]
+        return out, kv
+
+    x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache))
+    # kv_new: [L, 2, B, T, H, Dh] — one write for the whole block
     cache = jax.lax.dynamic_update_slice(cache, kv_new, (0, 0, 0, pos, 0, 0))
     return layer_norm(params["final_ln"], x), cache
 

@@ -77,7 +77,7 @@ def init_params(cfg: ModelConfig, key) -> dict:
     heads = [head_init(k) for k in jax.random.split(keys[3 + K], K)]
     heads = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *heads)
 
-    return {
+    params = {
         "text_emb": init_token_embedding(keys[0], cfg.n_text_tokens, D, dtype),
         "audio_emb": audio_emb,
         "mask_emb": jax.random.normal(keys[1], (cfg.max_n_spans, D), dtype),
@@ -87,6 +87,39 @@ def init_params(cfg: ModelConfig, key) -> dict:
                                   cfg.ffn_dim, dtype),
         "heads": heads,
     }
+    if cfg.n_mtp > 0:
+        params["mtp_heads"] = init_mtp_heads(cfg, keys[4 + K])
+    return params
+
+
+def init_mtp_heads(cfg: ModelConfig, key) -> dict:
+    """Multi-token-prediction heads: same 2-layer-GELU structure as the main
+    prediction heads, stacked [n_mtp, K, ...]; group j predicts the token at
+    offset j+2 in the delayed space (the main heads predict offset +1).
+
+    Kept OUTSIDE the reference parameter surface: adding them to an existing
+    checkpoint changes no reference-compatible weights (PAPERS.md
+    arXiv 2410.13839 trains such heads on top of a frozen AR model)."""
+    dtype = jnp.dtype(cfg.param_dtype)
+    K, D, card = cfg.n_codebooks, cfg.d_model, cfg.card
+    half = cfg.audio_vocab_size // 2
+
+    def head_init(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        b1 = 1.0 / np.sqrt(D)
+        b2 = 1.0 / np.sqrt(half)
+        return {
+            "w1": jax.random.uniform(k1, (D, half), dtype, -b1, b1),
+            "b1": jax.random.uniform(k2, (half,), dtype, -b1, b1),
+            "w2": jax.random.uniform(k3, (half, card), dtype, -b2, b2),
+            "b2": jax.random.uniform(k4, (card,), dtype, -b2, b2),
+        }
+
+    groups = []
+    for kj in jax.random.split(key, cfg.n_mtp):
+        heads = [head_init(k) for k in jax.random.split(kj, K)]
+        groups.append(jax.tree.map(lambda *xs: jnp.stack(xs, 0), *heads))
+    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *groups)
 
 
 def param_count(params) -> int:
@@ -228,12 +261,61 @@ def forward_train(params, cfg: ModelConfig, batch: TrainBatch,
     top10 = (rank < 10) & valid
     acc_k = top10.sum(axis=(0, 2)) / jnp.maximum(ntok_k, 1)
 
-    return {
+    out = {
         "loss": loss,
         "top10acc_by_codebook": acc_k * ntok_k,
         "top10acc": jnp.sum(acc_k * ntok_k),
         "effective_ntoken": ntok_k.sum(),
     }
+
+    # --- auxiliary multi-token-prediction loss (speculative decoding) ---
+    # head group j (0-based) predicts the token at offset j+2 from position
+    # p.  A cell (k, p) trains iff (a) the ENDPOINT slot p+2+j holds a real
+    # same-span token (target_valid at p+1+j) and (b) no intermediate slot
+    # p+1 .. p+1+j is a mask placeholder (span joints always carry one, so
+    # this is exactly span contiguity).  Intermediate forced-empty slots do
+    # NOT invalidate: the decode loop forces those rows deterministically
+    # (the spec drafter mirrors the same rule), so the head trains on every
+    # cell the verifier will actually compare.
+    if "mtp_heads" in params:
+        h_mtp = jax.lax.stop_gradient(h_y) if cfg.mtp_detach else h_y
+        mtp_logits = jax.vmap(lambda hd: apply_heads(hd, h_mtp),
+                              in_axes=0)(params["mtp_heads"])
+        # [n_mtp, B, Sy, K, card] -> [n_mtp, B, K, Sy, card]
+        mtp_logits = mtp_logits.transpose(0, 1, 3, 2, 4)
+        n_mtp = mtp_logits.shape[0]
+        mtp_loss = jnp.zeros((), jnp.float32)
+        mtp_acc = []
+        not_mask = (batch.mask_emb_idx < 0)[:, None, :]     # [B, 1, Sy]
+        win = jnp.ones_like(valid)
+        zcol = jnp.zeros_like(batch.y_tokens[..., :1])
+        for j in range(n_mtp):
+            # window gains slot p+1+j; endpoint realness shifts by 1+j
+            win = win & jnp.concatenate(
+                [jnp.broadcast_to(not_mask[..., 1 + j:],
+                                  valid[..., 1 + j:].shape),
+                 jnp.zeros_like(valid[..., :1 + j])], axis=-1)
+            endpoint = jnp.concatenate(
+                [valid[..., 1 + j:], jnp.zeros_like(valid[..., :1 + j])],
+                axis=-1)
+            valid_j = endpoint & win
+            tgt_j = jnp.concatenate(
+                [batch.y_tokens[..., 2 + j:]] + [zcol] * (2 + j), axis=-1)
+            logp_j = jax.nn.log_softmax(mtp_logits[j], axis=-1)
+            tl = jnp.take_along_axis(logp_j, tgt_j[..., None], axis=-1)[..., 0]
+            ce_j = -tl * valid_j
+            ntok_j = valid_j.sum(axis=(0, 2))
+            loss_jk = ce_j.sum(axis=(0, 2)) / jnp.maximum(ntok_j, 1)
+            mtp_loss = mtp_loss + jnp.sum(
+                loss_jk * ntok_j.astype(jnp.float32) * w)
+            top1 = (jnp.argmax(mtp_logits[j], axis=-1) == tgt_j) & valid_j
+            mtp_acc.append(top1.sum() / jnp.maximum(valid_j.sum(), 1))
+        mtp_loss = cfg.mtp_weight * mtp_loss
+        out["mtp_loss"] = mtp_loss
+        out["mtp_top1acc"] = jnp.stack(mtp_acc)
+        out["loss"] = out["loss"] + mtp_loss
+
+    return out
 
 
 # ==============================================================================
@@ -522,6 +604,230 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
 
         final = jax.lax.while_loop(cond, body, state)
         return final.gen_buf, final.span_buf, final.gen_cnt, final.span_idx + 1
+
+    return jax.jit(decode)
+
+
+# ==============================================================================
+# speculative decoding with multi-token-prediction drafts
+# ==============================================================================
+
+class SpecDecodeState(NamedTuple):
+    cache: jnp.ndarray
+    logits: jnp.ndarray         # [1, K, card] main-head logits for next slot
+    h: jnp.ndarray              # [1, D] hidden at the last accepted position
+    rng: jnp.ndarray            # base key; per-token keys via fold_in(index)
+    pos: jnp.ndarray
+    y_pos: jnp.ndarray
+    gen_buf: jnp.ndarray        # [gen_max + tau, K]
+    gen_cnt: jnp.ndarray
+    codebook_eog: jnp.ndarray   # [K]
+    cur_num_gen: jnp.ndarray
+    consec_silence: jnp.ndarray
+    prev_token: jnp.ndarray
+    n_passes: jnp.ndarray       # forward passes taken (for acceptance stats)
+    done: jnp.ndarray
+
+
+def make_spec_decode_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
+                          gen_max: int, scfg: SamplingConfig, n_draft: int,
+                          bench_mode: bool = False,
+                          force_accept: bool = False,
+                          kv_dtype: Optional[str] = None):
+    """Verified speculative TTS decode (PAPERS.md arXiv 2410.13839).
+
+    Each pass feeds ``n_draft`` tokens through ONE forward: the true next
+    token (sampled from the main heads exactly as the plain loop would) plus
+    ``n_draft - 1`` guesses from the MTP heads.  The pass's own logits then
+    re-derive what the plain loop would have emitted at each guessed slot —
+    a guess is accepted only if it matches bit-exactly, so the OUTPUT IS
+    IDENTICAL to non-speculative decoding; drafts only change wall-clock.
+    (Exactly identical in f32 compute; under bf16 the block forward's
+    different accumulation order can flip greedy argmaxes at near-ties,
+    the same tie physics documented for the engine in CLAUDE.md.)
+    Batch-1 decode is weight-bandwidth-bound, so a pass costs ~the same HBM
+    time as a single step; accepted guesses are nearly free tokens.
+
+    Parity detail: per-token RNG is ``fold_in(rng, token_index)`` rather than
+    the plain loop's sequential split, so for temperature>0 the sampled
+    sequence differs from the plain loop by (exactly) a re-seeding — but is
+    itself fully deterministic and INDEPENDENT of draft quality or n_draft
+    (accept/reject never consumes randomness).  Greedy (temperature<=0)
+    output is bit-identical to the plain loop.
+
+    ``force_accept`` (bench only): skip the equality check so every pass
+    retires n_draft tokens — measures the 100%%-acceptance throughput
+    ceiling of the machinery; the emitted tokens are the drafts.
+
+    Requires ``params["mtp_heads"]`` with >= n_draft-1 head groups when
+    n_draft > 1.  Single span / TTS only (editing keeps the plain loop).
+
+    Returns fn(params, x_tokens [1,x_pad], x_len, y_prefix [1,K,y_pad],
+               prefix_len, rng) -> (gen_buf [gen_max+n_draft, K], gen_cnt,
+                                    n_passes)
+    """
+    assert n_draft >= 1
+    K, D = cfg.n_codebooks, cfg.d_model
+    H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cache_dtype = jnp.dtype(kv_dtype) if kv_dtype else dtype
+    cap_mult = cfg.encodec_sr // 5
+    tau = n_draft
+    s_max = x_pad + y_pad + gen_max + tau
+    pe_np = sine_table(MAX_POS, D)
+
+    def decode(params, x_tokens, x_len, y_prefix, prefix_len, rng):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        alpha_a = params["alpha_audio"].astype(dtype)
+
+        # ---- prefill (same as make_decode_loop's TTS path) ----
+        x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
+        x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
+        y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
+        y_in = y_emb + alpha_a * pe[:y_pad]
+        xy = jnp.concatenate([x_in, y_in], axis=1)
+
+        Sp = x_pad + y_pad
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        if use_flash_prefill(Sp):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v, jnp.atleast_1d(x_len), jnp.atleast_1d(prefix_len),
+                x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(Sp)
+            key_valid = jnp.where(jj < x_pad, jj < x_len,
+                                  jj < x_pad + prefix_len)
+            qi = jnp.arange(Sp)[:, None]
+            allowed = (jnp.arange(Sp)[None, :] <= qi) & key_valid[None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[None, None]
+
+        cache = trm.init_kv_cache(L, 1, s_max, H, Dh, cache_dtype)
+        h_all, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)
+        h_last = jax.lax.dynamic_slice_in_dim(h_all, x_pad + prefix_len - 1, 1,
+                                              axis=1)
+        logits0 = apply_heads(params["heads"], h_last)[:, 0]   # [1, K, card]
+
+        state = SpecDecodeState(
+            cache=cache,
+            logits=logits0,
+            h=h_last[:, 0],
+            rng=rng,
+            pos=jnp.asarray(x_pad) + prefix_len,
+            y_pos=prefix_len.astype(jnp.int32),
+            gen_buf=jnp.zeros((gen_max + tau, K), jnp.int32),
+            gen_cnt=jnp.asarray(0, jnp.int32),
+            codebook_eog=jnp.zeros((K,), bool),
+            cur_num_gen=jnp.asarray(0, jnp.int32),
+            consec_silence=jnp.asarray(0, jnp.int32),
+            prev_token=jnp.asarray(-1, jnp.int32),
+            n_passes=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False))
+
+        def cond(s: SpecDecodeState):
+            return jnp.logical_not(s.done) & (s.gen_cnt < gen_max)
+
+        def body(s: SpecDecodeState) -> SpecDecodeState:
+            tok_key = lambda i: jax.random.fold_in(s.rng, s.gen_cnt + i)
+
+            # -- token 0: the true next token, exactly as the plain loop --
+            t0, eog0, consec0, prev0 = _adjust_and_sample(
+                cfg, scfg, True, cap_mult, tok_key(0), s.logits[0],
+                s.codebook_eog, s.cur_num_gen, s.consec_silence,
+                s.prev_token, s.y_pos, x_len)
+            if bench_mode:
+                eog0 = jnp.zeros_like(eog0)
+                t0 = jnp.where(t0 >= cfg.audio_vocab_size, 0, t0)
+
+            # -- drafts from the MTP heads at the last accepted hidden --
+            if tau > 1:
+                mtp = jax.tree.map(lambda x: x[:tau - 1], params["mtp_heads"])
+                d_logits = jax.vmap(lambda hd: apply_heads(hd, s.h))(mtp)
+                drafts = jnp.argmax(d_logits[:, 0], axis=-1)    # [tau-1, K]
+                drafts = drafts.astype(jnp.int32)
+                # the forced-empty rule (rows > cur_num_gen -> empty,
+                # voicecraft.py:1037-1039) is deterministic given position —
+                # mirror it on the drafts so the span's first K-1 steps don't
+                # reject on rows the verifier will force anyway
+                cng_d = s.cur_num_gen + 1 + jnp.arange(tau - 1)[:, None]
+                drafts = jnp.where(jnp.arange(K)[None, :] > cng_d,
+                                   cfg.empty_token, drafts)
+                tokens = jnp.concatenate([t0[None], drafts], axis=0)
+            else:
+                tokens = t0[None]                               # [tau, K]
+
+            # -- one forward for the whole block --
+            emb = embed_audio_tokens(
+                params["audio_emb"], tokens.T[None])[0].astype(dtype)  # [tau,D]
+            pe_blk = jax.lax.dynamic_slice_in_dim(pe, s.y_pos, tau, axis=0)
+            feed = (emb + alpha_a * pe_blk)[None]               # [1, tau, D]
+            h_blk, cache = trm.decode_step_block(
+                params["decoder"], feed, s.cache, s.pos, cfg.nhead,
+                x_len=x_len, x_pad=x_pad)
+            logits_blk = apply_heads(params["heads"], h_blk)    # [1,tau,K,card]
+
+            # -- verify drafts against what the plain loop would emit --
+            emitted = [t0]
+            alive = jnp.logical_not(jnp.all(eog0))
+            st = (eog0, s.cur_num_gen + 1, consec0, prev0)
+            n_acc = jnp.asarray(1, jnp.int32)
+            for i in range(1, tau):
+                eog_c, cng_c, consec_c, prev_c = st
+                ti, eog_i, consec_i, prev_i = _adjust_and_sample(
+                    cfg, scfg, True, cap_mult, tok_key(i),
+                    logits_blk[0, i - 1], eog_c, cng_c, consec_c, prev_c,
+                    s.y_pos + i, x_len)
+                if bench_mode:
+                    eog_i = jnp.zeros_like(eog_i)
+                    ti = jnp.where(ti >= cfg.audio_vocab_size, 0, ti)
+                if force_accept:
+                    match = jnp.asarray(True)
+                    ti = tokens[i]
+                else:
+                    match = jnp.all(ti == tokens[i])
+                accept = alive & match & (s.gen_cnt + i < gen_max)
+                emitted.append(jnp.where(accept, ti, 0))
+                n_acc = n_acc + accept.astype(jnp.int32)
+                st = (jnp.where(accept, eog_i, eog_c),
+                      jnp.where(accept, cng_c + 1, cng_c),
+                      jnp.where(accept, consec_i, consec_c),
+                      jnp.where(accept, prev_i, prev_c))
+                alive = alive & accept & jnp.logical_not(jnp.all(eog_i))
+
+            eog_f, cng_f, consec_f, prev_f = st
+            done = jnp.all(eog_f)
+
+            # -- record the block; rows beyond n_acc are overwritten later --
+            blk = jnp.stack(emitted, axis=0)                    # [tau, K]
+            gen_buf = jax.lax.dynamic_update_slice(
+                s.gen_buf, blk, (s.gen_cnt, 0))
+
+            # -- the last accepted position's outputs seed the next pass --
+            last = n_acc - 1
+            logits_next = jnp.squeeze(
+                jax.lax.dynamic_slice_in_dim(logits_blk, last, 1, axis=1),
+                axis=1)                                         # [1, K, card]
+            h_next = jax.lax.dynamic_slice_in_dim(h_blk[0], last, 1, axis=0)
+
+            return SpecDecodeState(
+                cache=cache,
+                logits=logits_next,
+                h=h_next,
+                rng=s.rng,
+                pos=s.pos + n_acc,
+                y_pos=s.y_pos + n_acc,
+                gen_buf=gen_buf,
+                gen_cnt=s.gen_cnt + n_acc,
+                codebook_eog=eog_f,
+                cur_num_gen=cng_f,
+                consec_silence=consec_f,
+                prev_token=prev_f,
+                n_passes=s.n_passes + 1,
+                done=done)
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.gen_buf, final.gen_cnt, final.n_passes
 
     return jax.jit(decode)
 

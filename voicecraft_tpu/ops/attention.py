@@ -129,6 +129,47 @@ def decode_attention_self(q: jnp.ndarray, k_cache: jnp.ndarray,
     return out.reshape(B, 1, H * Dh)
 
 
+def decode_attention_self_block(q: jnp.ndarray, k_cache: jnp.ndarray,
+                                v_cache: jnp.ndarray, kv_len: jnp.ndarray,
+                                k_new: jnp.ndarray, v_new: jnp.ndarray,
+                                nhead: int,
+                                x_len: jnp.ndarray | None = None,
+                                x_pad: int | None = None) -> jnp.ndarray:
+    """Block variant of :func:`decode_attention_self` for speculative decode.
+
+    T draft tokens attend the read-only slab [0, kv_len) (minus text padding
+    [x_len, x_pad)) plus causally within the new block.  Stale slab entries
+    at positions >= kv_len — left over from rejected drafts of a previous
+    pass — are masked out, which is what makes "rewind = move the write
+    pointer back" sound.
+
+    q: [B, T, D]; k_cache/v_cache: [B, S_max, H, Dh]; k_new/v_new: [B, T, H, Dh].
+    """
+    B, S_max, H, Dh = k_cache.shape
+    T = k_new.shape[1]
+    qh = q.reshape(B, T, H, Dh)
+    scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+    j = jnp.arange(S_max)[None, None, None, :]
+    mask = j < kv_len
+    if x_pad is not None:
+        mask = mask & ((j < x_len) | (j >= x_pad))
+    logits = jnp.where(mask, logits, NEG_INF)
+    logit_blk = jnp.einsum("bqhd,bkhd->bhqk", qh, k_new,
+                           preferred_element_type=jnp.float32) * scale
+    blk_causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])
+    logit_blk = jnp.where(blk_causal[None, None], logit_blk, NEG_INF)
+    all_logits = jnp.concatenate([logits, logit_blk], axis=-1)
+    probs = jax.nn.softmax(all_logits, axis=-1).astype(v_cache.dtype)
+    out = (jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S_max], v_cache,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhqk,bkhd->bqhd", probs[..., S_max:], v_new,
+                        preferred_element_type=jnp.float32)
+           ).astype(v_cache.dtype)
+    return out.reshape(B, T, H * Dh)
+
+
 def decode_attention_multi(q: jnp.ndarray, k_cache: jnp.ndarray,
                            v_cache: jnp.ndarray, kv_len: jnp.ndarray,
                            k_new: jnp.ndarray, v_new: jnp.ndarray,

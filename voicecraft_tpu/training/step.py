@@ -61,24 +61,34 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                 batch)
             rngs = jax.random.split(rng, grad_accum)
 
+            mtp = cfg.n_mtp > 0
+
             def micro(carry, inp):
-                gsum, loss_sum, acc_sum, acc_cb_sum, ntok_sum = carry
+                gsum, loss_sum, acc_sum, acc_cb_sum, ntok_sum, xtra = carry
                 b, r = inp
                 (l, out), g = grads_of(params, b, r)
+                if mtp:
+                    xtra = (xtra[0] + out["mtp_loss"],
+                            xtra[1] + out["mtp_top1acc"])
                 return (jax.tree.map(jnp.add, gsum, g), loss_sum + l,
                         acc_sum + out["top10acc"],
                         acc_cb_sum + out["top10acc_by_codebook"],
-                        ntok_sum + out["effective_ntoken"]), None
+                        ntok_sum + out["effective_ntoken"], xtra), None
 
             zero_g = jax.tree.map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), params)
             K = cfg.n_codebooks
             init = (zero_g, jnp.float32(0), jnp.float32(0),
-                    jnp.zeros((K,), jnp.float32), jnp.int32(0))
-            (grads, loss, acc, acc_cb, ntok), _ = jax.lax.scan(
+                    jnp.zeros((K,), jnp.float32), jnp.int32(0),
+                    (jnp.float32(0), jnp.zeros((cfg.n_mtp,), jnp.float32))
+                    if mtp else ())
+            (grads, loss, acc, acc_cb, ntok, xtra), _ = jax.lax.scan(
                 micro, init, (mb, rngs))
             out = {"top10acc": acc, "top10acc_by_codebook": acc_cb,
                    "effective_ntoken": ntok}
+            if mtp:
+                out["mtp_loss"] = xtra[0]
+                out["mtp_top1acc"] = xtra[1] / grad_accum
         ok = jnp.isfinite(loss)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -95,6 +105,9 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
             "effective_ntoken": out["effective_ntoken"],
             "is_nan": jnp.logical_not(ok).astype(jnp.float32),
         }
+        for k in ("mtp_loss", "mtp_top1acc"):
+            if k in out:
+                metrics[k] = out[k]
         return params, opt_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 1))
@@ -133,28 +146,39 @@ def make_train_step_two_phase(cfg: ModelConfig,
             batch)
         rngs = jax.random.split(rng, grad_accum)
 
+        mtp = cfg.n_mtp > 0
+
         def micro(carry, inp):
-            gsum, loss_sum, acc_sum, acc_cb, ntok = carry
+            gsum, loss_sum, acc_sum, acc_cb, ntok, xtra = carry
             b, r = inp
 
             def loss_fn(p):
                 out = forward_train(p, cfg, b, rng=r, remat=remat)
                 return objective(out), out
             (_, out), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if mtp:
+                xtra = (xtra[0] + out["mtp_loss"],
+                        xtra[1] + out["mtp_top1acc"])
             return (jax.tree.map(jnp.add, gsum, g), loss_sum + out["loss"],
                     acc_sum + out["top10acc"],
                     acc_cb + out["top10acc_by_codebook"],
-                    ntok + out["effective_ntoken"]), None
+                    ntok + out["effective_ntoken"], xtra), None
 
         zero_g = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
                               params)
         K = cfg.n_codebooks
         init = (zero_g, jnp.float32(0), jnp.float32(0),
-                jnp.zeros((K,), jnp.float32), jnp.int32(0))
-        (grads, loss, acc, acc_cb, ntok), _ = jax.lax.scan(
+                jnp.zeros((K,), jnp.float32), jnp.int32(0),
+                (jnp.float32(0), jnp.zeros((cfg.n_mtp,), jnp.float32))
+                if mtp else ())
+        (grads, loss, acc, acc_cb, ntok, xtra), _ = jax.lax.scan(
             micro, init, (mb, rngs))
-        return grads, loss, {"top10acc": acc, "top10acc_by_codebook": acc_cb,
-                             "effective_ntoken": ntok}
+        out = {"top10acc": acc, "top10acc_by_codebook": acc_cb,
+               "effective_ntoken": ntok}
+        if mtp:
+            out["mtp_loss"] = xtra[0]
+            out["mtp_top1acc"] = xtra[1] / grad_accum
+        return grads, loss, out
 
     def update_fn(params, opt_state, grads, loss):
         ok = jnp.isfinite(loss)
@@ -177,6 +201,9 @@ def make_train_step_two_phase(cfg: ModelConfig,
             "effective_ntoken": out["effective_ntoken"],
             "is_nan": jnp.logical_not(jnp.isfinite(loss)).astype(jnp.float32),
         }
+        for k in ("mtp_loss", "mtp_top1acc"):
+            if k in out:
+                metrics[k] = out[k]
         return params, opt_state, metrics
 
     return step
