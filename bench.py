@@ -50,6 +50,14 @@ def main():
                     help="engine burst size (steps between admission checks)")
     ap.add_argument("--kv-fp8", action="store_true",
                     help="store the KV slab in float8_e4m3 (serving/engine)")
+    ap.add_argument("--spec", type=int, default=0, metavar="TAU",
+                    help="speculative decode with TAU tokens per pass "
+                         "(TAU-1 MTP drafts).  Random-init MTP heads accept "
+                         "~nothing, so this measures the verified-pass rate; "
+                         "add --spec-accept for the 100%%-acceptance ceiling")
+    ap.add_argument("--spec-accept", action="store_true",
+                    help="force-accept all drafts (throughput ceiling: real "
+                         "per-pass cost, simulated perfect acceptance)")
     ap.add_argument("--fused-ffn", action="store_true",
                     help="route the decode FFN through the Pallas fused "
                          "kernel (single-stream mode only)")
@@ -76,6 +84,8 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     key = jax.random.PRNGKey(0)
+    if args.spec:
+        cfg = __import__("dataclasses").replace(cfg, n_mtp=args.spec - 1)
     params = init_params(cfg, key)
     params = jax.tree.map(
         lambda x: x.astype("bfloat16") if x.dtype == np.float32 else x, params)
@@ -91,6 +101,9 @@ def main():
         return
     if args.engine:
         _bench_engine(args, cfg, params, rng)
+        return
+    if args.spec:
+        _bench_spec(args, cfg, params, rng)
         return
 
     x_tokens = rng.integers(0, cfg.text_vocab_size, args.phones).astype(np.int32)
@@ -153,6 +166,82 @@ def main():
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 1.0, 3),
+    }))
+
+
+def _bench_spec(args, cfg, params, rng):
+    """Speculative single-stream decode throughput.
+
+    Every pass feeds TAU tokens through one forward (same weight reads as a
+    plain step, TAUx the FLOPs).  Without --spec-accept, random-init MTP
+    heads reject essentially every draft, so the number measures the
+    verified-pass rate (the per-pass cost of the machinery); with
+    --spec-accept each pass retires TAU tokens — the genuine end-to-end
+    throughput at 100%% acceptance.  Real acceptance needs trained heads
+    (see tests/test_spec_decode.py::test_spec_acceptance_after_memorising)."""
+    import jax
+    import jax.numpy as jnp
+    from voicecraft_tpu.data import spans
+    from voicecraft_tpu.models.voicecraft import (SamplingConfig,
+                                                  make_spec_decode_loop)
+
+    K = cfg.n_codebooks
+    tau = args.spec
+    x_tokens = rng.integers(0, cfg.text_vocab_size, args.phones).astype(np.int32)
+    prompt = rng.integers(0, cfg.audio_vocab_size,
+                          (K, args.prompt_frames)).astype(np.int32)
+    prefix = spans.compose_tts_prefix(prompt, cfg)
+
+    def ceil(v, m):
+        return (v + m - 1) // m * m
+
+    x_pad = ceil(len(x_tokens), 32)
+    y_pad = ceil(prefix.length, 64)
+    gen_max = args.frames
+    scfg = SamplingConfig(top_k=40, top_p=1.0, temperature=1.0,
+                          stop_repetition=3)
+    loop = make_spec_decode_loop(
+        cfg, x_pad=x_pad, y_pad=y_pad, gen_max=gen_max, scfg=scfg,
+        n_draft=tau, bench_mode=True, force_accept=args.spec_accept,
+        kv_dtype="float8_e4m3fn" if args.kv_fp8 else None)
+
+    xt = np.full((1, x_pad), cfg.text_pad_token, np.int32)
+    xt[0, :len(x_tokens)] = x_tokens
+    yt = np.full((1, K, y_pad), cfg.empty_token, np.int32)
+    yt[0, :, :prefix.length] = prefix.tokens
+
+    def run(seed):
+        out = loop(params, jnp.asarray(xt),
+                   jnp.asarray(len(x_tokens), jnp.int32), jnp.asarray(yt),
+                   jnp.asarray(prefix.length, jnp.int32),
+                   jax.random.PRNGKey(seed))
+        np.asarray(out[1])
+        return out
+
+    t0 = time.perf_counter()
+    out = run(0)
+    n_gen, n_passes = int(out[1]), int(out[2])
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s "
+          f"({n_gen} tokens in {n_passes} passes)", file=sys.stderr)
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = run(i + 1)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    n_gen, n_passes = int(out[1]), int(out[2])
+    rtf = n_gen / cfg.encodec_sr / best
+    print(f"spec tau={tau} accept={'forced' if args.spec_accept else 'real'}: "
+          f"{best:.3f}s for {n_gen} tokens / {n_passes} passes "
+          f"({n_passes / best:.0f} passes/s, {n_gen / best:.0f} tokens/s, "
+          f"{n_gen / max(n_passes, 1):.2f} tok/pass)", file=sys.stderr)
+    suffix = "_ceiling" if args.spec_accept else ""
+    print(json.dumps({
+        "metric": f"tts_spec_rtf_830m_tau{tau}{suffix}",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf, 3),
     }))
 
 

@@ -280,3 +280,40 @@ def test_spec_acceptance_after_memorising():
     # only rejecting passes are the K-1 eog-cascade tail steps (whose
     # rows > n_eog come from untrained logits on both sides)
     assert st["tokens_per_pass"] >= 2.8, st
+
+
+def test_mtp_graft_onto_frozen_checkpoint(tmp_path):
+    """train_cli flow for speculative-decoding heads: pretrain a base model,
+    then a second Trainer with n_mtp>0, init_from=<ckpt>, train_mtp_only —
+    the base weights must stay bit-identical while the heads train."""
+    from voicecraft_tpu.training.trainer import Trainer
+    from tests.test_trainer import _make_dataset, _tcfg
+
+    root = str(tmp_path / "data")
+    cfg = _make_dataset(root)
+    t1 = Trainer(cfg, _tcfg(root, tmp_path))
+    t1.train()
+    ckpt = t1._ckpt_dir("latest")
+    base = jax.device_get(t1.params)
+
+    cfg2 = dataclasses.replace(cfg, n_mtp=2)
+    tcfg2 = dataclasses.replace(_tcfg(root, tmp_path / "ft"), num_steps=6,
+                                val_every_n_steps=100)
+    t2 = Trainer(cfg2, tcfg2, init_from=ckpt, train_mtp_only=True)
+    # init_from grafts the base weights and fresh-initialises the heads
+    np.testing.assert_array_equal(
+        np.asarray(t2.params["decoder"]["final_ln"]["g"]),
+        np.asarray(base["decoder"]["final_ln"]["g"]))
+    assert "mtp_heads" in t2.params
+    mtp0 = jax.device_get(t2.params["mtp_heads"])
+    t2.train()
+    after = jax.device_get(t2.params)
+    for k in ("text_emb", "audio_emb", "mask_emb", "decoder", "heads"):
+        ref, got = jax.tree.leaves(base[k]), jax.tree.leaves(after[k])
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(mtp0),
+                        jax.tree.leaves(after["mtp_heads"])))
+    assert changed, "MTP heads did not train"

@@ -30,6 +30,17 @@ def main():
     ap.add_argument("--val-every-n-steps", type=int, default=800)
     ap.add_argument("--n-model", type=int, default=1,
                     help="tensor-parallel size; data-parallel gets the rest")
+    ap.add_argument("--n-mtp", type=int, default=0,
+                    help="train N multi-token-prediction head groups "
+                         "(speculative decoding drafts; auxiliary loss only)")
+    ap.add_argument("--init-from", default=None,
+                    help="initialise params from an existing checkpoint "
+                         "(.pth / HF snapshot / orbax exp dir); fresh-inits "
+                         "anything missing, e.g. the MTP heads")
+    ap.add_argument("--mtp-only", action="store_true",
+                    help="freeze everything except the MTP heads (graft "
+                         "speculative-decoding drafts onto a frozen "
+                         "pretrained model)")
     ap.add_argument("--tb", action="store_true", help="write tensorboard")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() (multi-host)")
@@ -54,6 +65,8 @@ def main():
     if args.codebook_weight:
         mcfg = dataclasses.replace(mcfg,
                                    codebook_weight=tuple(args.codebook_weight))
+    if args.n_mtp:
+        mcfg = dataclasses.replace(mcfg, n_mtp=args.n_mtp)
     tcfg = TrainConfig(
         exp_dir=args.exp_dir, dataset_dir=args.dataset_dir,
         optimizer_name=args.optimizer, lr=args.lr, num_steps=args.num_steps,
@@ -73,7 +86,8 @@ def main():
         from torch.utils.tensorboard import SummaryWriter
         tb = SummaryWriter(args.exp_dir)
 
-    Trainer(mcfg, tcfg, mesh=mesh, tb_writer=tb).train()
+    Trainer(mcfg, tcfg, mesh=mesh, tb_writer=tb, init_from=args.init_from,
+            train_mtp_only=args.mtp_only).train()
 
 
 if __name__ == "__main__":

@@ -3,13 +3,21 @@
 serving.py decodes a fixed batch in lockstep — fine when requests arrive
 together, but a long request holds every lane hostage.  This engine runs the
 decoder in bursts of T steps; between bursts, finished lanes are retired and
-queued requests are prefilled into the freed lanes.  Each lane carries its
-own step counter, so cache writes use per-lane offsets (vmapped
-dynamic_update_slice) instead of serving.py's uniform write pointer.
+queued requests are prefilled into the freed lanes.
+
+Lanes carry their own step counters, but the KV slab's generated region is a
+RING indexed by a single global step clock: every lane writes its current
+token's k/v at ring slot (gstep mod W) in its own batch row, so the cache
+write is ONE uniform dynamic_update_slice per step — identical cost to
+lockstep serving — and per-lane history selection is index arithmetic
+(slot age <= lane's step count).  Earlier designs paid ~3 ms/step at 830M /
+16 lanes for per-lane offset bookkeeping (a burst-local recent buffer, a
+three-part attention, and a per-lane flush scatter); the ring removes all
+three.
 
 Per-lane slab layout (shared column space, per-lane validity):
     [ text 0..x_len_b | pad .. x_pad | prompt 0..prefix_len_b | pad .. y_pad |
-      generated 0..t_b ]
+      ring of W generated slots, lane-valid where age <= t_b ]
 
 Burst granularity trades host round-trips (expensive over a TPU tunnel)
 against admission latency: T=32-64 steps ~= 0.6-1.3 s of audio per burst at
@@ -46,6 +54,7 @@ class LaneState(NamedTuple):
     finish_t: jnp.ndarray     # [B], -1 until the eog cascade completes
     logits: jnp.ndarray       # [B, K, card] next-slot predictions
     rng: jnp.ndarray
+    gstep: jnp.ndarray        # scalar: global steps taken (ring write clock)
 
 
 def _empty_lanes(B: int, K: int, card: int, seed: int) -> LaneState:
@@ -59,84 +68,83 @@ def _empty_lanes(B: int, K: int, card: int, seed: int) -> LaneState:
         prev=jnp.full((B,), -1, jnp.int32),
         finish_t=jnp.full((B,), -1, jnp.int32),
         logits=jnp.zeros((B, K, card), jnp.float32),
-        rng=jax.random.PRNGKey(seed))
+        rng=jax.random.PRNGKey(seed),
+        gstep=jnp.asarray(0, jnp.int32))
 
 
-def _three_part_attention(q, k_cache, v_cache, k_recent, v_recent,
-                          k_new, v_new, nhead, x_lens, x_pad, prefix_lens,
-                          y_start, gen_valid_b, recent_valid):
-    """Decode attention over cache (frozen) + burst-recent buffer + self.
+def _ring_attention(q, k_cache, v_cache, k_new, v_new, nhead, x_lens, x_pad,
+                    prefix_lens, y_start, W, gstep, t_lane):
+    """Decode attention over the ring slab + self.
 
-    q [B,1,D]; k_cache/v_cache [B,S,H,Dh]; k_recent/v_recent [B,R,H,Dh];
-    k_new/v_new [B,1,H,Dh].  gen_valid_b [B]: generated cols in the cache
-    valid in [y_start, y_start + gen_valid_b); recent_valid: scalar — recent
-    cols [0, recent_valid) valid.
+    The generated region [y_start, y_start+W) is a RING indexed by the
+    global step clock: every lane writes its step-g token at ring slot
+    g mod W, so the write is one uniform dynamic_update_slice (like
+    lockstep serving) and per-lane history selection is pure index
+    arithmetic: slot r's last write was age(r) = 1 + ((gstep-1-r) mod W)
+    steps ago; it belongs to lane b's live history iff age <= t_lane_b.
+    (A lane only ever reads its own batch row, so rows never mix.)
+
+    q [B,1,D]; k_cache/v_cache [B,S,H,Dh]; k_new/v_new [B,1,H,Dh];
+    gstep: scalar global steps completed BEFORE this one; t_lane [B].
     """
     B, S_max, H, Dh = k_cache.shape
-    R = k_recent.shape[1]
     qh = q.reshape(B, 1, H, Dh)
     scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
 
-    lg_c = jnp.einsum("bqhd,bkhd->bhqk", qh, k_cache,
-                      preferred_element_type=jnp.float32) * scale
+    lg = jnp.einsum("bqhd,bkhd->bhqk", qh, k_cache,
+                    preferred_element_type=jnp.float32) * scale
     j = jnp.arange(S_max)[None, :]
-    valid_c = ((j < x_lens[:, None])
-               | ((j >= x_pad) & (j < x_pad + prefix_lens[:, None]))
-               | ((j >= y_start) & (j < y_start + gen_valid_b[:, None])))
-    lg_c = jnp.where(valid_c[:, None, None, :], lg_c, NEG_INF)
-
-    lg_r = jnp.einsum("bqhd,bkhd->bhqk", qh, k_recent,
-                      preferred_element_type=jnp.float32) * scale
-    jr = jnp.arange(R)[None, None, None, :]
-    lg_r = jnp.where(jr < recent_valid, lg_r, NEG_INF)
+    r = j - y_start
+    age = 1 + jnp.mod(gstep - 1 - r, W)
+    valid = ((j < x_lens[:, None])
+             | ((j >= x_pad) & (j < x_pad + prefix_lens[:, None]))
+             | ((j >= y_start) & (age <= t_lane[:, None])
+                & (gstep >= age)))
+    lg = jnp.where(valid[:, None, None, :], lg, NEG_INF)
 
     lg_s = jnp.einsum("bqhd,bkhd->bhqk", qh, k_new,
                       preferred_element_type=jnp.float32) * scale
-
-    allq = jnp.concatenate([lg_c, lg_r, lg_s], axis=-1)
+    allq = jnp.concatenate([lg, lg_s], axis=-1)
     probs = jax.nn.softmax(allq, axis=-1).astype(v_cache.dtype)
-    out = (jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S_max], v_cache,
+    out = (jnp.einsum("bhqk,bkhd->bqhd", probs[..., :-1], v_cache,
                       preferred_element_type=jnp.float32)
-           + jnp.einsum("bhqk,bkhd->bqhd", probs[..., S_max:S_max + R],
-                        v_recent, preferred_element_type=jnp.float32)
            + jnp.einsum("bhqk,bkhd->bqhd", probs[..., -1:], v_new,
                         preferred_element_type=jnp.float32)).astype(v_cache.dtype)
     return out.reshape(B, 1, H * Dh)
 
 
-def _lane_decode_step(params, x_t, cache, recent, j_cur, nhead, x_lens,
-                      x_pad, prefix_lens, y_start, gen_valid_b):
-    """One burst step: cache is READ-ONLY; new k/v go to the recent buffer
-    at the uniform in-burst index ``j_cur`` (cheap dynamic_update_slice —
-    per-lane scatters into the big slab were ~6x slower)."""
+def _lane_decode_step(params, x_t, cache, nhead, x_lens, x_pad, prefix_lens,
+                      y_start, W, gstep, t_lane):
+    """One burst step against the ring slab: read-only in the layer scan,
+    ONE uniform dynamic_update_slice at ring slot gstep mod W afterwards
+    (write-once, same structure as transformer.decode_step_fast — per-lane
+    scatters into the slab were ~6x slower, and the earlier burst-local
+    recent-buffer + per-lane flush cost ~3 ms/step at 16 lanes)."""
     L, _, B, S_max, H, Dh = cache.shape
 
     def body(carry, scanned):
         h_in = carry
-        layer_p, layer_cache, layer_recent = scanned
+        layer_p, layer_cache = scanned
         h = trm.layer_norm(layer_p["ln1"], h_in)
         q, k, v = trm.qkv_proj(layer_p["attn"], h)
         k_new = k.reshape(B, 1, H, Dh)
         v_new = v.reshape(B, 1, H, Dh)
-        a = _three_part_attention(
+        a = _ring_attention(
             q, layer_cache[0].astype(q.dtype), layer_cache[1].astype(q.dtype),
-            layer_recent[0].astype(q.dtype), layer_recent[1].astype(q.dtype),
             k_new, v_new, nhead, x_lens, x_pad, prefix_lens, y_start,
-            gen_valid_b, j_cur)
+            W, gstep, t_lane)
         a = trm._proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
         h2 = trm.layer_norm(layer_p["ln2"], x1)
         h2 = trm._proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
         h2 = jax.nn.relu(h2)
         h2 = trm._proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
-        return x1 + h2, jnp.stack([k_new, v_new], 0).astype(recent.dtype)
+        return x1 + h2, jnp.stack([k_new, v_new], 0).astype(cache.dtype)
 
-    x, kv_new = jax.lax.scan(body, x_t,
-                             (params["layers"], cache, recent))
-    # kv_new [L, 2, B, 1, H, Dh]: uniform in-burst write
-    recent = jax.lax.dynamic_update_slice(
-        recent, kv_new, (0, 0, 0, j_cur, 0, 0))
-    return trm.layer_norm(params["final_ln"], x), recent
+    x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache))
+    cache = jax.lax.dynamic_update_slice(
+        cache, kv_new, (0, 0, 0, y_start + jnp.mod(gstep, W), 0, 0))
+    return trm.layer_norm(params["final_ln"], x), cache
 
 
 def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
@@ -162,13 +170,18 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
         pe = jnp.asarray(pe_np).astype(dtype)
         alpha_a = params["alpha_audio"].astype(dtype)
         L_, _, B_, S_, H_, Dh_ = cache.shape
+        W = S_ - y_start                       # ring width (>= gen_max + 1)
 
         def one_burst(cache, lanes, gen_buf):
-            t_start = lanes.t                  # frozen cache-validity bound
-            recent0 = jnp.zeros((L_, 2, B_, burst, H_, Dh_), cache.dtype)
+            t_start = lanes.t
+            # in-burst sample buffer at the uniform index j: per-lane
+            # scatters into [B, gen_max, K] every step serialize badly; a
+            # uniform dynamic_update_slice + one per-lane flush per burst
+            # doesn't
+            gen_recent0 = jnp.zeros((B_, burst, K), jnp.int32)
 
             def step(carry, j):
-                recent, s, gen_buf = carry
+                cache, gen_recent, s = carry
                 rng, step_rng = jax.random.split(s.rng)
                 lane_rngs = jax.random.split(step_rng, B)
                 y_pos = s.prefix_lens + s.t
@@ -184,41 +197,42 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                 lane_done = jnp.all(new_eog, axis=1) & live
                 finish_t = jnp.where(lane_done, s.t, s.finish_t)
 
-                # record per-lane at row t; restore old rows for dead lanes
-                new_gen = jax.vmap(
-                    lambda g, sm, t: jax.lax.dynamic_update_slice(
-                        g, sm[None], (t, 0)))(gen_buf, samples,
-                                              jnp.where(live, s.t, 0))
-                gen_buf = jnp.where(live[:, None, None], new_gen, gen_buf)
+                gen_recent = jax.lax.dynamic_update_slice(
+                    gen_recent, samples[:, None, :], (0, j, 0))
 
                 feed_emb = embed_audio_tokens(
                     params["audio_emb"], samples[:, :, None])[:, 0].astype(dtype)
                 feed = feed_emb + alpha_a * jnp.take(
                     pe, jnp.minimum(y_pos, MAX_POS - 1), axis=0)
-                h, recent = _lane_decode_step(
-                    params["decoder"], feed[:, None, :], cache, recent, j,
+                # dead lanes' ring writes are garbage in their own row only;
+                # their age-window is frozen at t so the garbage is invisible
+                h, cache = _lane_decode_step(
+                    params["decoder"], feed[:, None, :], cache,
                     cfg.nhead, s.x_lens, x_pad, s.prefix_lens, y_start,
-                    t_start)
+                    W, s.gstep, s.t)
                 logits = apply_heads(params["heads"], h)[:, 0]
                 logits = jnp.where(live[:, None, None], logits, s.logits)
 
                 t = jnp.where(live, jnp.minimum(s.t + 1, gen_max - 1), s.t)
                 new_s = LaneState(s.active, t, s.x_lens, s.prefix_lens,
                                   new_eog, consec, prev, finish_t, logits,
-                                  rng)
-                return (recent, new_s, gen_buf), None
+                                  rng, s.gstep + 1)
+                return (cache, gen_recent, new_s), None
 
-            (recent, lanes, gen_buf), _ = jax.lax.scan(
-                step, (recent0, lanes, gen_buf), jnp.arange(burst))
+            (cache, gen_recent, new_lanes), _ = jax.lax.scan(
+                step, (cache, gen_recent0, lanes), jnp.arange(burst))
 
-            # flush the burst-recent buffer into the big slab: per-lane
-            # offset, once per burst (amortised)
-            def flush_lane(cache_b, rec_b, t0):
-                return jax.lax.dynamic_update_slice(
-                    cache_b, rec_b, (0, 0, y_start + t0, 0, 0))
-            cache = jax.vmap(flush_lane, in_axes=(2, 2, 0), out_axes=2)(
-                cache, recent, t_start)
-            return cache, lanes, gen_buf
+            # flush sampled rows into gen_buf: lane b advanced
+            # (new_t - t_start) steps this burst; rows beyond that in the
+            # recent window hold dead-lane padding and must not overwrite
+            def flush_gen(g, rec, t0, n_adv):
+                idx = jnp.minimum(t0 + jnp.arange(burst), gen_max - 1)
+                keep = jnp.arange(burst) < n_adv
+                cur = g[idx]
+                return g.at[idx].set(jnp.where(keep[:, None], rec, cur))
+            gen_buf = jax.vmap(flush_gen)(gen_buf, gen_recent, t_start,
+                                          new_lanes.t - t_start)
+            return cache, new_lanes, gen_buf
 
         # device-side drain: keep bursting until a lane finishes (the host
         # only needs control for retire/admit) or max_bursts runs out —
@@ -317,7 +331,8 @@ def make_prefill_batch_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
             logits=jnp.where(m[:, None, None],
                              logits0.astype(lanes.logits.dtype),
                              lanes.logits),
-            rng=lanes.rng)
+            rng=lanes.rng,
+            gstep=lanes.gstep)
         return cache, lanes
 
     return jax.jit(prefill, donate_argnums=(1, 2))
@@ -389,7 +404,8 @@ def make_prefill_lane_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
             finish_t=lanes.finish_t.at[b].set(-1),
             logits=lanes.logits.at[b].set(
                 logits0[0].astype(lanes.logits.dtype)),
-            rng=lanes.rng)
+            rng=lanes.rng,
+            gstep=lanes.gstep)
         return cache, lanes
 
     return jax.jit(prefill, donate_argnums=(1, 2))
@@ -422,7 +438,8 @@ class ContinuousBatcher:
     def __post_init__(self):
         cfg = self.cfg
         K = cfg.n_codebooks
-        # +burst slack: the burst flush writes a full recent window
+        # ring width W = gen_max + burst keeps every live lane's history
+        # strictly inside the ring (t_b <= gen_max - 1 < W)
         self._s_max = self.x_pad + self.y_pad + self.gen_max + self.burst
         self._burst_fn = make_burst_fn(
             cfg, batch_size=self.lanes, x_pad=self.x_pad, y_pad=self.y_pad,

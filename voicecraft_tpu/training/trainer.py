@@ -82,7 +82,16 @@ def _pad_batch_full(batch, mcfg, B_t: int, Sx_t: int, Sy_t: int):
 
 class Trainer:
     def __init__(self, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None,
-                 tb_writer=None):
+                 tb_writer=None, init_from: str = None,
+                 train_mtp_only: bool = False):
+        """``init_from``: initialise params from an existing checkpoint
+        (.pth / HF snapshot / orbax exp dir / preset — anything
+        inference.loader.load_model accepts) instead of random init; missing
+        extension params (e.g. MTP heads when mcfg.n_mtp > 0) are freshly
+        initialised.  ``train_mtp_only`` masks every gradient except
+        params['mtp_heads'], so the base model stays bit-identical — the
+        PAPERS.md arXiv 2410.13839 recipe of grafting speculative-decoding
+        heads onto a frozen pretrained checkpoint."""
         if (jax.default_backend() == "cpu"
                 and mcfg.compute_dtype == "bfloat16"):
             # CPU XLA lacks bf16xbf16->f32 dots; TPU keeps bf16
@@ -137,6 +146,23 @@ class Trainer:
         self.lr_fn = lr
 
         self.params = init_params(mcfg, jax.random.PRNGKey(tcfg.seed))
+        if init_from:
+            from ..inference.loader import load_model
+            _, loaded, _ = load_model(init_from)
+            missing = {k: v for k, v in self.params.items() if k not in loaded}
+            self.params = {**jax.tree.map(jnp.asarray, dict(loaded)),
+                           **missing}
+            if missing:
+                log.info("init_from %s: fresh-initialised %s", init_from,
+                         sorted(missing))
+        if train_mtp_only:
+            assert "mtp_heads" in self.params, "train_mtp_only needs n_mtp>0"
+            import optax
+            labels = {k: jax.tree.map(
+                lambda _: "train" if k == "mtp_heads" else "freeze", v)
+                for k, v in self.params.items()}
+            self.tx = optax.multi_transform(
+                {"train": self.tx, "freeze": optax.set_to_zero()}, labels)
         if mesh is not None:
             from ..parallel.mesh import shard_params
             self.params = shard_params(self.params, mesh)
@@ -318,6 +344,15 @@ class Trainer:
                         self.tb.add_scalar(
                             f"train/top10acc_cb{ci + 1}",
                             float(a) * len(acc_cb) / ntok, step)
+                    if "mtp_loss" in metrics:
+                        self.tb.add_scalar("train/mtp_loss",
+                                           float(metrics["mtp_loss"]) / ntok,
+                                           step)
+                        for gi, a in enumerate(
+                                np.asarray(metrics["mtp_top1acc"])):
+                            self.tb.add_scalar(
+                                f"train/mtp_top1acc_g{gi + 1}", float(a),
+                                step)
                 if step % t.print_every_n_steps == 0:
                     log.info("step %d/%d epoch %d loss %.4f acc %.4f "
                              "lr %.2e data %.2fs step %.2fs",

@@ -81,4 +81,11 @@ def quantize_decoder_fp8(params: dict, pack_qkv: bool = False) -> dict:
         "w2": _quantize_matrix(params["heads"]["w2"]),
         "b2": params["heads"]["b2"],
     }
+    if "mtp_heads" in params:
+        out["mtp_heads"] = {
+            "w1": _quantize_matrix(params["mtp_heads"]["w1"]),
+            "b1": params["mtp_heads"]["b1"],
+            "w2": _quantize_matrix(params["mtp_heads"]["w2"]),
+            "b2": params["mtp_heads"]["b2"],
+        }
     return out
