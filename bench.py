@@ -380,6 +380,7 @@ def _bench_engine(args, cfg, params, rng):
           f"({len(warm)} requests)", file=sys.stderr)
 
     times, frames = [], 0
+    g0 = int(np.asarray(eng._lanes.gstep))
     for it in range(args.iters):
         for x, y in reqs:
             eng.submit(x, y)
@@ -390,8 +391,12 @@ def _bench_engine(args, cfg, params, rng):
         frames = sum(g.shape[1] for _, g in results.values())
     best = min(times)
     rtf = frames / cfg.encodec_sr / best
+    per_iter = (int(np.asarray(eng._lanes.gstep)) - g0) / args.iters
     print(f"engine: {best:.2f}s for {frames} frames, {n_req} requests "
-          f"over {lanes} lanes (burst {args.burst})", file=sys.stderr)
+          f"over {lanes} lanes (burst {args.burst}); "
+          f"~{per_iter:.0f} device steps/iter -> {best / per_iter * 1e3:.2f} "
+          f"ms/step, lane occupancy "
+          f"{frames / (per_iter * lanes) * 100:.0f}%", file=sys.stderr)
     print(json.dumps({
         "metric": f"tts_engine_rtf_830m_l{lanes}",
         "value": round(rtf, 2),
