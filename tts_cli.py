@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--stop-repetition", type=int, default=3)
     ap.add_argument("--sample-batch-size", type=int, default=1)
+    ap.add_argument("--spec", type=int, default=0, metavar="TAU",
+                    help="speculative decoding with TAU tokens per verified "
+                         "pass (checkpoint must carry MTP heads, "
+                         "train_cli --n-mtp); greedy output identical to "
+                         "plain decoding, sampled output equally valid")
     ap.add_argument("--silence-tokens", type=int, nargs="*",
                     default=[1388, 1898, 131])
     ap.add_argument("--seed", type=int, default=1)
@@ -66,13 +71,24 @@ def main():
     logging.basicConfig(level=logging.INFO)
 
     from voicecraft_tpu.inference.loader import load_model, load_codec
-    from voicecraft_tpu.inference.tts import inference_tts, inference_tts_batch
+    from voicecraft_tpu.inference.tts import (inference_tts,
+                                              inference_tts_batch,
+                                              inference_tts_spec)
     from voicecraft_tpu.models.voicecraft import SamplingConfig
     from voicecraft_tpu.models import encodec as ec
     from voicecraft_tpu.data.phonemes import make_text_tokenizer, phones_to_ids
     from voicecraft_tpu.utils import audio as au
 
     cfg, params, phn2num = load_model(args.model, args.random_init, args.seed)
+    if args.spec > 1 and "mtp_heads" not in params:
+        if not args.random_init:
+            ap.error("--spec needs a checkpoint with MTP heads "
+                     "(train_cli --n-mtp)")
+        import dataclasses as _dc
+        import jax as _jax
+        from voicecraft_tpu.models.voicecraft import init_params as _ip
+        cfg = _dc.replace(cfg, n_mtp=args.spec - 1)
+        params = _ip(cfg, _jax.random.PRNGKey(args.seed))
     ccfg, cparams = load_codec(args.codec, args.random_init, args.seed)
 
     if args.prompt_transcript is None:
@@ -142,6 +158,9 @@ def main():
             return inference_tts_batch(params, cfg, xi, codes, scfg,
                                        batch_size=args.sample_batch_size,
                                        seed=seed)
+        if args.spec > 1:
+            return inference_tts_spec(params, cfg, xi, codes, scfg,
+                                      n_draft=args.spec, seed=seed)
         return inference_tts(params, cfg, xi, codes, scfg, seed=seed)
 
     t0 = time.time()
@@ -156,6 +175,13 @@ def main():
         full, gen = inference_tts_batch(params, cfg, x, codes, scfg,
                                         batch_size=args.sample_batch_size,
                                         seed=args.seed)
+    elif args.spec > 1:
+        full, gen, st = inference_tts_spec(params, cfg, x, codes, scfg,
+                                           n_draft=args.spec, seed=args.seed,
+                                           return_stats=True)
+        logging.info("speculative decode: %d tokens in %d passes "
+                     "(%.2f tok/pass)", st["tokens"], st["passes"],
+                     st["tokens_per_pass"])
     else:
         full, gen = inference_tts(params, cfg, x, codes, scfg, seed=args.seed)
     gen_sec = gen.shape[1] / cfg.encodec_sr
