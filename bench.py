@@ -66,6 +66,12 @@ def main():
                          "into one [D,3D] matmul in fp8 mode)")
     ap.add_argument("--unroll", type=int, default=1,
                     help="layer-scan unroll factor for the decode step")
+    ap.add_argument("--steps-per-iter", type=int, default=1,
+                    help="decode steps grouped per while-loop iteration "
+                         "(output-identical; measured perf-NEUTRAL on TPU "
+                         "at 4 and WORSE at 8 — see PERF.md negative "
+                         "results; the while_loop has no per-iteration "
+                         "host cost to amortise)")
     args = ap.parse_args()
     args.fp8 = not args.bf16
 
@@ -123,7 +129,8 @@ def main():
     loop = make_decode_loop(cfg, is_tts=True, x_pad=x_pad, y_pad=y_pad,
                             gen_max=gen_max, scfg=scfg, bench_mode=True,
                             fused_ffn=args.fused_ffn, unroll=args.unroll,
-                            kv_dtype="float8_e4m3fn" if args.kv_fp8 else None)
+                            kv_dtype="float8_e4m3fn" if args.kv_fp8 else None,
+                            steps_per_iter=args.steps_per_iter)
 
     import jax.numpy as jnp
     xt = np.full((1, x_pad), cfg.text_pad_token, np.int32)

@@ -54,16 +54,18 @@ def find_closest_word_boundary(rows, cut_off_sec: float, margin: float = 0.04,
 
 @lru_cache(maxsize=32)
 def _get_loop(cfg: ModelConfig, is_tts: bool, x_pad: int, y_pad: int,
-              gen_max: int, scfg: SamplingConfig, max_spans: int):
+              gen_max: int, scfg: SamplingConfig, max_spans: int,
+              steps_per_iter: int = 1):
     return make_decode_loop(cfg, is_tts=is_tts, x_pad=x_pad, y_pad=y_pad,
-                            gen_max=gen_max, scfg=scfg, max_spans=max_spans)
+                            gen_max=gen_max, scfg=scfg, max_spans=max_spans,
+                            steps_per_iter=steps_per_iter)
 
 
 def run_decode(params, cfg: ModelConfig, *, is_tts: bool,
                x_tokens: np.ndarray, prefix: spans.ComposedSequence,
                queue_mask_ids, n_spans: int, scfg: SamplingConfig,
                seed: int = 1, gen_max: Optional[int] = None,
-               return_raw: bool = False):
+               return_raw: bool = False, steps_per_iter: int = 1):
     """Shared decode entry.  Returns a list of generated spans [K, T_j]
     (unshifted), or with ``return_raw`` the per-step delayed-space samples
     (gen_buf [n, K], span_buf [n])."""
@@ -90,7 +92,8 @@ def run_decode(params, cfg: ModelConfig, *, is_tts: bool,
     for j, v in enumerate(queue_mask_ids[:cfg.max_n_spans]):
         qm[j] = v
 
-    loop = _get_loop(cfg, is_tts, x_pad, y_pad, gen_max, scfg, cfg.max_n_spans)
+    loop = _get_loop(cfg, is_tts, x_pad, y_pad, gen_max, scfg,
+                     cfg.max_n_spans, steps_per_iter)
     gen_buf, span_buf, gen_cnt, n_done = loop(
         params, jnp.asarray(xt), jnp.asarray(x_len, jnp.int32),
         jnp.asarray(yt), jnp.asarray(prefix.length, jnp.int32),
@@ -229,10 +232,15 @@ def inference_tts_spec(params, cfg: ModelConfig, x_tokens: np.ndarray,
 
 def inference_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
                   y_codes: np.ndarray, scfg: SamplingConfig = SamplingConfig(),
-                  seed: int = 1, gen_max: Optional[int] = None
+                  seed: int = 1, gen_max: Optional[int] = None,
+                  steps_per_iter: int = 1
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Zero-shot TTS: continue the voice prompt ``y_codes`` [K, T] for the
     phoneme sequence ``x_tokens`` [Lx].
+
+    ``steps_per_iter`` > 1 amortises the per-iteration loop overhead of the
+    backend (~0.5 ms) by running that many decode steps per while-loop
+    iteration; output is token-identical (see make_decode_loop).
 
     Returns (full_codes [K, T+Tg], generated [K, Tg]) — matching the
     reference's (res, flatten_gen) (voicecraft.py:1143-1153).
@@ -242,7 +250,8 @@ def inference_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
     prefix = spans.compose_tts_prefix(y_codes, cfg)
     gen = run_decode(params, cfg, is_tts=True, x_tokens=x_tokens,
                      prefix=prefix, queue_mask_ids=[], n_spans=1,
-                     scfg=scfg, seed=seed, gen_max=gen_max)[0]
+                     scfg=scfg, seed=seed, gen_max=gen_max,
+                     steps_per_iter=steps_per_iter)[0]
     full = np.concatenate([y_codes, gen], axis=1)
     if cfg.special_first:
         full = full - cfg.n_special

@@ -434,7 +434,8 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
                      y_pad: int, gen_max: int, scfg: SamplingConfig,
                      max_spans: Optional[int] = None,
                      bench_mode: bool = False, fused_ffn: bool = False,
-                     kv_dtype: Optional[str] = None, unroll: int = 1):
+                     kv_dtype: Optional[str] = None, unroll: int = 1,
+                     steps_per_iter: int = 1):
     """Build the jitted single-sample decode function.
 
     Static geometry: x padded to ``x_pad``, composed y prefix padded to
@@ -443,6 +444,15 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
     still writing KV at pos — so the slab carries 2*(max_spans-1) extra
     slots (2 feed steps per span transition) to make pos <= s_max invariant
     even when every span runs to the budget.
+
+    ``steps_per_iter`` runs that many decode steps inside ONE while-loop
+    iteration.  Every loop iteration costs a fixed ~0.5 ms on this backend
+    (PERF.md rooflines) regardless of content, which is ~26% of a batch-1
+    830M step — grouping k steps per iteration amortises it.  Sub-steps
+    after ``done`` still run the forward (their state updates are gated
+    off), but they write only to the frozen next-free slab slot, which key
+    validity (j < pos) never reads; output is token-identical to the
+    k=1 loop, at the cost of at most k-1 wasted trailing forwards.
 
     Returns fn(params, x_tokens [1,x_pad], x_len, y_prefix [1,K,y_pad],
                prefix_len, mask_emb_idx [1,y_pad], queue_mask_ids [max_spans],
@@ -456,7 +466,10 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
     cap_mult = (cfg.encodec_sr // 5) if is_tts else 10  # voicecraft.py:1042,751
     if max_spans is None:
         max_spans = cfg.max_n_spans
-    s_max = x_pad + y_pad + gen_max + 2 * (max_spans - 1)
+    # + steps_per_iter-1: in the final group, pos may advance past the
+    # gen_cnt budget before the group-boundary cond check stops the loop
+    s_max = (x_pad + y_pad + gen_max + 2 * (max_spans - 1)
+             + (steps_per_iter - 1))
     pe_np = sine_table(MAX_POS, D)
 
     def decode(params, x_tokens, x_len, y_prefix, prefix_len, mask_emb_idx,
@@ -522,7 +535,13 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
         def cond(s: DecodeState):
             return jnp.logical_not(s.done) & (s.gen_cnt < gen_max)
 
-        def body(s: DecodeState) -> DecodeState:
+        def substep(s: DecodeState) -> DecodeState:
+            # `active` gates every state update: with steps_per_iter > 1 the
+            # cond() guard only holds at group boundaries, so sub-steps after
+            # done (or past the gen_max budget) must be no-ops on the
+            # bookkeeping state.  With steps_per_iter == 1 active is always
+            # True here and the gates reduce to the plain loop.
+            active = jnp.logical_not(s.done)
             rng, step_rng = jax.random.split(s.rng)
             feeding = s.queue_len > 0
 
@@ -537,8 +556,8 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
                 samples = jnp.where(samples >= cfg.audio_vocab_size,
                                     0, samples)
 
-            span_complete = jnp.all(new_eog) & jnp.logical_not(feeding)
-            record = jnp.logical_not(feeding)
+            span_complete = jnp.all(new_eog) & jnp.logical_not(feeding) & active
+            record = jnp.logical_not(feeding) & active & (s.gen_cnt < gen_max)
 
             gen_buf = jax.lax.cond(
                 record,
@@ -576,19 +595,23 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
             done = s.done | (span_complete & jnp.logical_not(more_spans))
             span_idx = s.span_idx + start_next.astype(jnp.int32)
 
-            # per-span resets (voicecraft.py:827-858)
+            # per-span resets (voicecraft.py:827-858); inactive sub-steps
+            # keep their state frozen (their samples are garbage)
+            keep = feeding | jnp.logical_not(active)
             codebook_eog = jnp.where(span_complete,
                                      jnp.zeros_like(new_eog),
-                                     jnp.where(feeding, s.codebook_eog, new_eog))
+                                     jnp.where(keep, s.codebook_eog, new_eog))
             cur_num_gen = jnp.where(span_complete, 0,
-                                    jnp.where(feeding, s.cur_num_gen,
+                                    jnp.where(keep, s.cur_num_gen,
                                               s.cur_num_gen + 1))
             consec = jnp.where(span_complete, 0,
-                               jnp.where(feeding, s.consec_silence, new_consec))
+                               jnp.where(keep, s.consec_silence, new_consec))
             prev = jnp.where(span_complete, -1,
-                             jnp.where(feeding, s.prev_token, new_prev))
+                             jnp.where(keep, s.prev_token, new_prev))
 
             # --- feed one embedding through the decoder ---
+            # Runs even when inactive: the write lands at the frozen `pos`
+            # (the next free slot), which j < pos key validity never reads.
             feed = (feed_emb + alpha_a * jax.lax.dynamic_slice_in_dim(
                 pe, s.y_pos, 1, axis=0)[0])[None, None, :]
             h, cache = trm.decode_step_fast(params["decoder"], feed, s.cache,
@@ -597,10 +620,16 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
                                        fused_ffn=fused_ffn, unroll=unroll)
             logits = apply_heads(params["heads"], h)[:, 0]
 
-            return DecodeState(cache, logits, rng, s.pos + 1, s.y_pos + 1,
+            adv = active.astype(jnp.int32)
+            return DecodeState(cache, logits, rng, s.pos + adv, s.y_pos + adv,
                                gen_buf, span_buf, gen_cnt, codebook_eog,
                                cur_num_gen, consec, prev, span_idx,
                                queue, queue_len, done)
+
+        def body(s: DecodeState) -> DecodeState:
+            for _ in range(steps_per_iter):
+                s = substep(s)
+            return s
 
         final = jax.lax.while_loop(cond, body, state)
         return final.gen_buf, final.span_buf, final.gen_cnt, final.span_idx + 1
