@@ -291,15 +291,22 @@ def _bench_train(args):
 
 
 def _bench_serving(args, cfg, params, rng):
-    """Aggregate throughput with N distinct-prompt lanes (serving config)."""
+    """Aggregate throughput with N distinct-prompt lanes (serving config).
+
+    With ``--spec TAU`` the lanes decode speculatively (MTP drafts + verify,
+    make_spec_serving_loop); add ``--spec-accept`` for the 100%-acceptance
+    ceiling.  Without --spec-accept, random-init heads reject everything, so
+    the number is the verified-pass rate of the machinery."""
     import jax
     import jax.numpy as jnp
     from voicecraft_tpu.data import spans
     from voicecraft_tpu.models.voicecraft import SamplingConfig
-    from voicecraft_tpu.inference.serving import make_serving_tts_loop
+    from voicecraft_tpu.inference.serving import (make_serving_tts_loop,
+                                                  make_spec_serving_loop)
 
     B = args.serve
     K = cfg.n_codebooks
+    tau = args.spec
     x_pad, y_pad, gen_max = 128, 192, args.frames
     scfg = SamplingConfig(top_k=40, stop_repetition=3)
     xt = rng.integers(0, cfg.text_vocab_size, (B, x_pad)).astype(np.int32)
@@ -312,9 +319,16 @@ def _bench_serving(args, cfg, params, rng):
         pre = spans.compose_tts_prefix(prompt, cfg)
         yt[b, :, :pre.length] = pre.tokens
         p_lens[b] = pre.length
-    loop = make_serving_tts_loop(
-        cfg, batch_size=B, x_pad=x_pad, y_pad=y_pad, gen_max=gen_max,
-        scfg=scfg, kv_dtype="float8_e4m3fn" if args.kv_fp8 else None)
+    kv_dtype = "float8_e4m3fn" if args.kv_fp8 else None
+    if tau > 1:
+        loop = make_spec_serving_loop(
+            cfg, batch_size=B, n_draft=tau, x_pad=x_pad, y_pad=y_pad,
+            gen_max=gen_max, scfg=scfg, kv_dtype=kv_dtype, bench_mode=True,
+            force_accept=args.spec_accept)
+    else:
+        loop = make_serving_tts_loop(
+            cfg, batch_size=B, x_pad=x_pad, y_pad=y_pad, gen_max=gen_max,
+            scfg=scfg, kv_dtype=kv_dtype)
     a = (params, jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
          jnp.asarray(p_lens), jax.random.PRNGKey(0))
     t0 = time.perf_counter()
@@ -329,12 +343,23 @@ def _bench_serving(args, cfg, params, rng):
         ft = np.asarray(out[1])
         times.append(time.perf_counter() - t0)
     best = min(times)
-    frames = int(np.where(ft >= 0, ft + 1, gen_max).sum())
+    if tau > 1:
+        frames = int(ft.sum())
+        n_passes = int(out[2])
+        print(f"spec serving tau={tau} "
+              f"accept={'forced' if args.spec_accept else 'real'}: "
+              f"{best:.2f}s for {frames} frames across {B} lanes "
+              f"({n_passes} passes, {frames / max(n_passes, 1) / B:.2f} "
+              f"tok/pass/lane)", file=sys.stderr)
+    else:
+        frames = int(np.where(ft >= 0, ft + 1, gen_max).sum())
+        print(f"serving: {best:.2f}s for {frames} frames across {B} lanes",
+              file=sys.stderr)
     rtf = frames / cfg.encodec_sr / best
-    print(f"serving: {best:.2f}s for {frames} frames across {B} lanes",
-          file=sys.stderr)
+    suffix = ("" if tau <= 1 else
+              f"_spec{tau}" + ("_ceiling" if args.spec_accept else ""))
     print(json.dumps({
-        "metric": f"tts_serving_rtf_830m_b{B}",
+        "metric": f"tts_serving_rtf_830m_b{B}{suffix}",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf, 2),

@@ -152,6 +152,241 @@ def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
     return jax.jit(decode)
 
 
+class SpecServingState(NamedTuple):
+    cache: jnp.ndarray
+    logits: jnp.ndarray          # [B, K, card] main-head logits, next slot
+    h: jnp.ndarray               # [B, D] hidden at last accepted position
+    rng: jnp.ndarray             # base key; per-(lane, token-index) fold_in
+    t: jnp.ndarray               # [B] accepted generated tokens per lane
+    gen_buf: jnp.ndarray         # [gen_max + tau, B, K]
+    codebook_eog: jnp.ndarray    # [B, K]
+    cur_num_gen: jnp.ndarray     # [B]
+    consec_silence: jnp.ndarray  # [B]
+    prev_token: jnp.ndarray      # [B]
+    n_passes: jnp.ndarray        # scalar
+    done: jnp.ndarray            # [B]
+
+
+def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
+                           x_pad: int, y_pad: int, gen_max: int,
+                           scfg: SamplingConfig,
+                           kv_dtype: Optional[str] = None,
+                           bench_mode: bool = False,
+                           force_accept: bool = False):
+    """Speculative multi-stream TTS: N distinct prompts, tau tokens per lane
+    per verified pass.
+
+    Combines make_serving_tts_loop (per-lane prompts/validity) with
+    models.voicecraft.make_spec_decode_loop (MTP drafts + verify): each pass
+    feeds every lane its true next token plus ``n_draft - 1`` MTP-head
+    drafts through ONE block forward, then accepts per lane exactly the
+    prefix the plain loop would have emitted.  Lanes accept different
+    counts, so each lane writes its block at its own compact slab offset
+    (transformer.decode_step_multi_block scatter) and slab validity stays
+    per-lane length arithmetic.  Per-lane outputs are token-identical to
+    the plain serving loop under f32 compute for greedy sampling; for
+    temperature>0 the RNG schedule is per-(lane, token-index) fold_in, so
+    sampled output is draw-equivalent and INDEPENDENT of n_draft and of
+    acceptance patterns (tests/test_serving_spec.py).
+
+    A pass costs ~the same weight+slab HBM time as one lockstep step
+    (multi-lane decode is bandwidth-bound) plus tau× the MXU FLOPs, so
+    aggregate throughput ≈ lockstep × mean tokens/pass.
+
+    ``force_accept``/``bench_mode`` mirror make_spec_decode_loop (bench
+    ceilings only).  Requires params["mtp_heads"] when n_draft > 1.
+
+    Returns jitted fn(params, x_tokens [B,x_pad], x_lens [B],
+                      y_prefix [B,K,y_pad], prefix_lens [B], rng)
+      -> (gen_buf [gen_max+tau, B, K], t [B], n_passes).
+    """
+    assert n_draft >= 1
+    K, D = cfg.n_codebooks, cfg.d_model
+    H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    B = batch_size
+    tau = n_draft
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cache_dtype = jnp.dtype(kv_dtype) if kv_dtype else dtype
+    cap_mult = cfg.encodec_sr // 5
+    y_start = x_pad + y_pad
+    s_max = y_start + gen_max + tau
+    pe_np = sine_table(MAX_POS, D)
+
+    sample_lanes = jax.vmap(
+        lambda rng, lg, eog, cng, cs, pt, yp, xl: _adjust_and_sample(
+            cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl))
+
+    def decode(params, x_tokens, x_lens, y_prefix, prefix_lens, rng):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        alpha_a = params["alpha_audio"].astype(dtype)
+
+        # ---- prefill (identical to make_serving_tts_loop) ----
+        x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
+        x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
+        y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
+        y_in = y_emb + alpha_a * pe[:y_pad]
+        xy = jnp.concatenate([x_in, y_in], axis=1)
+
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        if use_flash_prefill(y_start):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v, x_lens, prefix_lens, x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(y_start)
+            key_valid = ((jj[None, :] < x_lens[:, None])
+                         | ((jj[None, :] >= x_pad)
+                            & (jj[None, :] < x_pad + prefix_lens[:, None])))
+            allowed = (jj[None, :] <= jj[:, None])[None] & key_valid[:, None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[:, None]
+
+        cache = trm.init_kv_cache(L, B, s_max, H, Dh, cache_dtype)
+        h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)
+        last_idx = x_pad + prefix_lens - 1
+        h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)
+        logits0 = apply_heads(params["heads"], h_last)[:, 0]   # [B, K, card]
+
+        state = SpecServingState(
+            cache=cache, logits=logits0, h=h_last[:, 0], rng=rng,
+            t=jnp.zeros((B,), jnp.int32),
+            gen_buf=jnp.zeros((gen_max + tau, B, K), jnp.int32),
+            codebook_eog=jnp.zeros((B, K), bool),
+            cur_num_gen=jnp.zeros((B,), jnp.int32),
+            consec_silence=jnp.zeros((B,), jnp.int32),
+            prev_token=jnp.full((B,), -1, jnp.int32),
+            n_passes=jnp.asarray(0, jnp.int32),
+            done=jnp.zeros((B,), bool))
+
+        empty_row = jnp.full((B, K), cfg.empty_token, jnp.int32)
+        lane_ids = jnp.arange(B)
+
+        def cond(s: SpecServingState):
+            return jnp.logical_not(jnp.all(s.done))
+
+        def body(s: SpecServingState) -> SpecServingState:
+            active = jnp.logical_not(s.done)                   # [B]
+            lane_keys = jax.vmap(
+                lambda b: jax.random.fold_in(s.rng, b))(lane_ids)
+
+            def tok_key(i):
+                # per-(lane, token-index): invariant to acceptance patterns
+                return jax.vmap(jax.random.fold_in)(lane_keys, s.t + i)
+
+            y_pos0 = prefix_lens + s.t                         # [B]
+
+            # -- token 0 per lane: exactly what the plain loop would emit --
+            t0, eog0, consec0, prev0 = sample_lanes(
+                tok_key(0), s.logits, s.codebook_eog, s.cur_num_gen,
+                s.consec_silence, s.prev_token, y_pos0, x_lens)
+            if bench_mode:
+                eog0 = jnp.zeros_like(eog0)
+                t0 = jnp.where(t0 >= cfg.audio_vocab_size, 0, t0)
+            t0 = jnp.where(active[:, None], t0, empty_row)
+            eog0 = jnp.where(active[:, None], eog0, s.codebook_eog)
+
+            # -- drafts from the MTP heads at the last accepted hidden --
+            if tau > 1:
+                mtp = jax.tree.map(lambda x: x[:tau - 1], params["mtp_heads"])
+                d_logits = jax.vmap(
+                    lambda hd: apply_heads(hd, s.h))(mtp)      # [tau-1,B,K,card]
+                drafts = jnp.argmax(d_logits, axis=-1).astype(jnp.int32)
+                # mirror the deterministic forced-empty rule on draft rows
+                # (voicecraft.py:1037-1039), as in make_spec_decode_loop
+                cng_d = (s.cur_num_gen[None, :, None] + 1
+                         + jnp.arange(tau - 1)[:, None, None])
+                drafts = jnp.where(jnp.arange(K)[None, None, :] > cng_d,
+                                   cfg.empty_token, drafts)
+                tokens = jnp.concatenate([t0[None], drafts], axis=0)
+            else:
+                tokens = t0[None]                              # [tau, B, K]
+            tokens_b = tokens.transpose(1, 0, 2)               # [B, tau, K]
+
+            # -- one block forward for all lanes --
+            emb = embed_audio_tokens(
+                params["audio_emb"],
+                tokens_b.transpose(0, 2, 1)).astype(dtype)     # [B, tau, D]
+            pos_grid = y_pos0[:, None] + jnp.arange(tau)[None, :]
+            feed = emb + alpha_a * jnp.take(pe, pos_grid, axis=0)
+            h_blk, cache = trm.decode_step_multi_block(
+                params["decoder"], feed, s.cache, y_start + s.t, cfg.nhead,
+                x_lens, x_pad, prefix_lens, y_start, gen_lens=s.t)
+            logits_blk = apply_heads(params["heads"], h_blk)   # [B,tau,K,card]
+
+            # -- verify drafts per lane against the plain-loop emission --
+            emitted = [t0]
+            alive = active & jnp.logical_not(jnp.all(eog0, axis=1))
+            st = (eog0,
+                  s.cur_num_gen + active.astype(jnp.int32),
+                  jnp.where(active, consec0, s.consec_silence),
+                  jnp.where(active, prev0, s.prev_token))
+            n_acc = active.astype(jnp.int32)                   # [B]
+            for i in range(1, tau):
+                eog_c, cng_c, consec_c, prev_c = st
+                ti, eog_i, consec_i, prev_i = sample_lanes(
+                    tok_key(i), logits_blk[:, i - 1], eog_c, cng_c,
+                    consec_c, prev_c, y_pos0 + i, x_lens)
+                if bench_mode:
+                    eog_i = jnp.zeros_like(eog_i)
+                    ti = jnp.where(ti >= cfg.audio_vocab_size, 0, ti)
+                if force_accept:
+                    match = jnp.ones((B,), bool)
+                    ti = tokens_b[:, i]
+                else:
+                    match = jnp.all(ti == tokens_b[:, i], axis=1)
+                accept = alive & match & (s.t + i < gen_max)
+                emitted.append(jnp.where(accept[:, None], ti, 0))
+                n_acc = n_acc + accept.astype(jnp.int32)
+                acc_k = accept[:, None]
+                st = (jnp.where(acc_k, eog_i, eog_c),
+                      jnp.where(accept, cng_c + 1, cng_c),
+                      jnp.where(accept, consec_i, consec_c),
+                      jnp.where(accept, prev_i, prev_c))
+                alive = alive & accept & jnp.logical_not(
+                    jnp.all(eog_i, axis=1))
+
+            eog_f, cng_f, consec_f, prev_f = st
+
+            # -- record accepted prefixes; garbage rows beyond n_acc are
+            #    overwritten by later passes or never read (rows < t only) --
+            blk = jnp.stack(emitted, axis=1)                   # [B, tau, K]
+            r_idx = s.t[:, None] + jnp.arange(tau)[None, :]    # [B, tau]
+            gen_buf = s.gen_buf.at[r_idx, lane_ids[:, None]].set(blk)
+
+            # -- last accepted position's outputs seed the next pass --
+            last = jnp.maximum(n_acc - 1, 0)
+            logits_next = jnp.take_along_axis(
+                logits_blk, last[:, None, None, None], axis=1)[:, 0]
+            h_next = jnp.take_along_axis(h_blk, last[:, None, None],
+                                         axis=1)[:, 0]
+            logits_next = jnp.where(active[:, None, None], logits_next,
+                                    s.logits)
+            h_next = jnp.where(active[:, None], h_next, s.h)
+
+            t_new = s.t + n_acc
+            done = s.done | (active & jnp.all(eog_f, axis=1)) \
+                | (t_new >= gen_max)
+
+            return SpecServingState(
+                cache=cache, logits=logits_next, h=h_next, rng=s.rng,
+                t=t_new, gen_buf=gen_buf, codebook_eog=eog_f,
+                cur_num_gen=cng_f, consec_silence=consec_f,
+                prev_token=prev_f, n_passes=s.n_passes + 1, done=done)
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.gen_buf, final.t, final.n_passes
+
+    return jax.jit(decode)
+
+
+@lru_cache(maxsize=8)
+def _get_spec_serving_loop(cfg, B, n_draft, x_pad, y_pad, gen_max, scfg,
+                           kv_dtype=None):
+    return make_spec_serving_loop(cfg, batch_size=B, n_draft=n_draft,
+                                  x_pad=x_pad, y_pad=y_pad, gen_max=gen_max,
+                                  scfg=scfg, kv_dtype=kv_dtype)
+
+
 @lru_cache(maxsize=8)
 def _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg, kv_dtype=None):
     return make_serving_tts_loop(cfg, batch_size=B, x_pad=x_pad, y_pad=y_pad,
@@ -169,8 +404,14 @@ def serve_tts_batch(params, cfg: ModelConfig,
                     seed: int = 1,
                     pads: Optional[Tuple[int, int, int]] = None,
                     kv_dtype: Optional[str] = None,
+                    spec: int = 0,
                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Decode a batch of (x_tokens [Lx], y_codes [K, T]) requests.
+
+    ``spec=TAU`` (>1) uses verified speculative decoding over all lanes
+    (make_spec_serving_loop): requires params["mtp_heads"]; greedy per-lane
+    output matches the plain serving loop (f32), sampled output uses the
+    per-token-index key schedule and is invariant to TAU.
 
     Returns [(full_codes, generated_codes)] per request, reference
     inference_tts output semantics per lane.
@@ -196,16 +437,30 @@ def serve_tts_batch(params, cfg: ModelConfig,
         xt[b, :len(x)] = x
         yt[b, :, :p.length] = p.tokens
 
-    loop = _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg, kv_dtype)
-    gen_buf, finish_t = loop(params, jnp.asarray(xt), jnp.asarray(x_lens),
-                             jnp.asarray(yt), jnp.asarray(p_lens),
-                             jax.random.PRNGKey(seed))
-    gen_buf = np.asarray(gen_buf)
-    finish_t = np.asarray(finish_t)
+    if spec > 1:
+        if "mtp_heads" not in params:
+            raise ValueError("spec serving needs params['mtp_heads'] "
+                             "(train with n_mtp > 0)")
+        loop = _get_spec_serving_loop(cfg, B, spec, x_pad, y_pad, gen_max,
+                                      scfg, kv_dtype)
+        gen_buf, t_acc, _ = loop(params, jnp.asarray(xt), jnp.asarray(x_lens),
+                                 jnp.asarray(yt), jnp.asarray(p_lens),
+                                 jax.random.PRNGKey(seed))
+        gen_buf = np.asarray(gen_buf)
+        n_rows = np.asarray(t_acc)
+    else:
+        loop = _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg,
+                                 kv_dtype)
+        gen_buf, finish_t = loop(params, jnp.asarray(xt), jnp.asarray(x_lens),
+                                 jnp.asarray(yt), jnp.asarray(p_lens),
+                                 jax.random.PRNGKey(seed))
+        gen_buf = np.asarray(gen_buf)
+        finish_t = np.asarray(finish_t)
+        n_rows = np.where(finish_t >= 0, finish_t + 1, gen_buf.shape[0])
 
     out = []
     for b, (x, y) in enumerate(requests):
-        n = int(finish_t[b]) + 1 if finish_t[b] >= 0 else gen_buf.shape[0]
+        n = int(n_rows[b])
         rows = gen_buf[:n, b]                                # [n, K]
         if rows.shape[0] <= K:
             gen = np.zeros((K, 0), np.int32)

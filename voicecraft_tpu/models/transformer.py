@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..ops.attention import (mha, decode_attention, decode_attention_self,
                              decode_attention_self_block,
-                             decode_attention_multi)
+                             decode_attention_multi,
+                             decode_attention_multi_block)
 
 
 # ---- init --------------------------------------------------------------------
@@ -332,6 +333,57 @@ def decode_step_block(params, x_t, cache, pos, nhead: int,
     x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache))
     # kv_new: [L, 2, B, T, H, Dh] — one write for the whole block
     cache = jax.lax.dynamic_update_slice(cache, kv_new, (0, 0, 0, pos, 0, 0))
+    return layer_norm(params["final_ln"], x), cache
+
+
+def decode_step_multi_block(params, x_t, cache, offsets, nhead: int,
+                            x_lens, x_pad: int, prefix_lens, y_start: int,
+                            gen_lens):
+    """Speculative-serving forward: T tokens per lane in ONE pass, per-lane
+    write offsets.
+
+    Combines :func:`decode_step_block` (tau-token block against the slab)
+    with :func:`decode_step_multi` (per-lane segment validity).  Because
+    lanes accept different numbers of drafts per pass, their generated
+    regions advance at different rates — each lane writes its block at its
+    OWN slab offset (``offsets[b] = y_start + accepted_b``, a scatter over
+    the S axis) so accepted tokens stay compact per lane and attention
+    validity remains plain length arithmetic (``gen_lens``, normally equal
+    to ``offsets - y_start``).  Rejected-draft entries are overwritten by
+    the next pass or sit beyond the valid length, never read.
+
+    x_t: [B, T, D]; offsets/gen_lens: [B].  Returns (hidden [B,T,D], cache).
+    """
+    L, _, B, S_max, H, Dh = cache.shape
+    T = x_t.shape[1]
+
+    def body(carry, scanned):
+        h_in = carry
+        layer_p, layer_cache = scanned
+        h = layer_norm(layer_p["ln1"], h_in)
+        q, k, v = qkv_proj(layer_p["attn"], h)
+        k_new = k.reshape(B, T, H, Dh)
+        v_new = v.reshape(B, T, H, Dh)
+        a = decode_attention_multi_block(
+            q, layer_cache[0].astype(q.dtype), layer_cache[1].astype(q.dtype),
+            gen_lens, k_new, v_new, nhead, x_lens, x_pad, prefix_lens,
+            y_start)
+        a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
+        x1 = h_in + a
+        h2 = layer_norm(layer_p["ln2"], x1)
+        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
+        h2 = jax.nn.relu(h2)
+        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        out = x1 + h2
+        kv = jnp.stack([k_new, v_new], axis=0).astype(cache.dtype)
+        return out, kv
+
+    x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache))
+    # kv_new: [L, 2, B, T, H, Dh] — ONE scatter for the whole block, with a
+    # per-lane offset along S (lanes advance at different rates)
+    b_idx = jnp.arange(B)[:, None]                       # [B, 1]
+    s_idx = offsets[:, None] + jnp.arange(T)[None, :]    # [B, T]
+    cache = cache.at[:, :, b_idx, s_idx].set(kv_new)
     return layer_norm(params["final_ln"], x), cache
 
 

@@ -203,6 +203,49 @@ def decode_attention_multi(q: jnp.ndarray, k_cache: jnp.ndarray,
     return out.reshape(B, 1, H * Dh)
 
 
+def decode_attention_multi_block(q: jnp.ndarray, k_cache: jnp.ndarray,
+                                 v_cache: jnp.ndarray, gen_lens: jnp.ndarray,
+                                 k_new: jnp.ndarray, v_new: jnp.ndarray,
+                                 nhead: int, x_lens: jnp.ndarray, x_pad: int,
+                                 prefix_lens: jnp.ndarray, y_start: int
+                                 ) -> jnp.ndarray:
+    """Multi-stream BLOCK attention for speculative serving.
+
+    Combines :func:`decode_attention_multi`'s per-lane segment validity with
+    :func:`decode_attention_self_block`'s intra-block causal term.  Lane b's
+    valid slab keys: text [0, x_len_b), prompt [x_pad, x_pad+prefix_len_b),
+    and a COMPACT per-lane generated region [y_start, y_start + gen_len_b) —
+    each lane writes its accepted tokens contiguously at its own offset, so
+    stale entries from rejected drafts sit at j >= y_start + gen_len_b and
+    are never read (the rewind trick, per lane).
+
+    q: [B, T, D]; k_cache/v_cache: [B, S_max, H, Dh]; k_new/v_new: [B, T, H, Dh].
+    """
+    B, S_max, H, Dh = k_cache.shape
+    T = k_new.shape[1]
+    qh = q.reshape(B, T, H, Dh)
+    scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+    j = jnp.arange(S_max)[None, :]
+    valid = ((j < x_lens[:, None])
+             | ((j >= x_pad) & (j < x_pad + prefix_lens[:, None]))
+             | ((j >= y_start) & (j < y_start + gen_lens[:, None])))
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    logit_blk = jnp.einsum("bqhd,bkhd->bhqk", qh, k_new,
+                           preferred_element_type=jnp.float32) * scale
+    blk_causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])
+    logit_blk = jnp.where(blk_causal[None, None], logit_blk, NEG_INF)
+    all_logits = jnp.concatenate([logits, logit_blk], axis=-1)
+    probs = jax.nn.softmax(all_logits, axis=-1).astype(v_cache.dtype)
+    out = (jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S_max], v_cache,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum("bhqk,bkhd->bqhd", probs[..., S_max:], v_new,
+                        preferred_element_type=jnp.float32)
+           ).astype(v_cache.dtype)
+    return out.reshape(B, T, H * Dh)
+
+
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                      kv_len: jnp.ndarray, nhead: int,
                      x_len: jnp.ndarray | None = None,
