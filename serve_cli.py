@@ -70,6 +70,14 @@ class Engine:
             log.info("serving with weight-only fp8 decoder (packed qkv)")
         self.ccfg, self.cparams = load_codec(args.codec, args.random_init)
         self.tok = make_text_tokenizer(args.language, args.text_backend)
+        self.kv_dtype = ("float8_e4m3fn"
+                         if getattr(args, "kv_fp8", False) else None)
+        self.spec = int(getattr(args, "spec", 0) or 0)
+        if self.spec > 1 and "mtp_heads" not in self.params:
+            log.warning("--spec %d requested but the checkpoint has no MTP "
+                        "heads (train_cli --n-mtp); speculative serving "
+                        "disabled", self.spec)
+            self.spec = 0
         self.queue: "queue.Queue" = queue.Queue()
         self.lock = threading.Lock()
         # rerun sessions: sid -> {"codes", "prompt_end", "scfg", "seed",
@@ -252,7 +260,8 @@ class Engine:
     def _batch_worker(self):
         from voicecraft_tpu.inference.serving import serve_tts_batch
         from voicecraft_tpu.inference.tts import (inference_tts,
-                                                  inference_tts_batch)
+                                                  inference_tts_batch,
+                                                  inference_tts_spec)
         while True:
             slots = [self.queue.get()]
             deadline = time.time() + self.args.batch_window_ms / 1000.0
@@ -273,6 +282,11 @@ class Engine:
                                 self.params, self.cfg, s["x"], s["codes"],
                                 s["scfg"], batch_size=s["sbs"],
                                 seed=s["seed"])
+                        elif self.spec > 1:
+                            s["result"] = inference_tts_spec(
+                                self.params, self.cfg, s["x"], s["codes"],
+                                s["scfg"], n_draft=self.spec,
+                                seed=s["seed"])
                         else:
                             s["result"] = inference_tts(
                                 self.params, self.cfg, s["x"], s["codes"],
@@ -281,7 +295,8 @@ class Engine:
                         outs = serve_tts_batch(
                             self.params, self.cfg,
                             [(s["x"], s["codes"]) for s in slots],
-                            slots[0]["scfg"], seed=slots[0]["seed"])
+                            slots[0]["scfg"], seed=slots[0]["seed"],
+                            kv_dtype=self.kv_dtype, spec=self.spec)
                         for s, o in zip(slots, outs):
                             s["result"] = o
             except Exception as e:  # surface errors to waiters
@@ -534,6 +549,13 @@ def main():
                          "alignment (else the energy aligner is used)")
     ap.add_argument("--fp8", action="store_true",
                     help="weight-only fp8 decoder (serving quantization)")
+    ap.add_argument("--kv-fp8", action="store_true",
+                    help="fp8 KV slab for multi-lane serving (halves the "
+                         "dominant HBM traffic at 16+ lanes)")
+    ap.add_argument("--spec", type=int, default=0, metavar="TAU",
+                    help="speculative decoding with TAU tokens per verified "
+                         "pass (checkpoint must carry MTP heads); applies "
+                         "to both lone requests and micro-batched lanes")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
