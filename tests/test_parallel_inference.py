@@ -67,3 +67,63 @@ def test_sharded_serving_matches_single():
 
     for (f1, g1), (f2, g2) in zip(singles, outs):
         np.testing.assert_array_equal(g1, g2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_lane_sharded_serving_matches_unsharded():
+    """Scale-out serving: lanes committed to P('data') over a (4,2) mesh
+    (each data group decodes its own lanes; params also TP over 'model')
+    must reproduce the unsharded serve_tts_batch outputs."""
+    from voicecraft_tpu.inference.serving import serve_tts_batch
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(11))
+    rng = np.random.default_rng(5)
+    reqs = []
+    for b in range(4):
+        x = rng.integers(0, cfg.text_vocab_size, 8 + b).astype(np.int32)
+        yy = rng.integers(0, cfg.audio_vocab_size,
+                          (cfg.n_codebooks, 14 + 4 * b)).astype(np.int32)
+        reqs.append((x, yy))
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+    pads = (32, 64, 256)
+
+    base = serve_tts_batch(params, cfg, reqs, scfg, seed=0, pads=pads)
+
+    mesh = make_mesh(4, 2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        outs = serve_tts_batch(sharded, cfg, reqs, scfg, seed=0, pads=pads,
+                               mesh=mesh)
+    for (f1, g1), (f2, g2) in zip(base, outs):
+        np.testing.assert_array_equal(g1, g2)
+        np.testing.assert_array_equal(f1, f2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_lane_sharded_spec_serving_matches_unsharded():
+    """Speculative serving under the mesh: per-lane scatter writes and the
+    MTP verify loop must survive GSPMD lane sharding unchanged."""
+    from voicecraft_tpu.inference.serving import serve_tts_batch
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32", n_mtp=2)
+    params = init_params(cfg, jax.random.PRNGKey(11))
+    rng = np.random.default_rng(6)
+    reqs = []
+    for b in range(4):
+        x = rng.integers(0, cfg.text_vocab_size, 8 + b).astype(np.int32)
+        yy = rng.integers(0, cfg.audio_vocab_size,
+                          (cfg.n_codebooks, 14 + 4 * b)).astype(np.int32)
+        reqs.append((x, yy))
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+    pads = (32, 64, 256)
+
+    base = serve_tts_batch(params, cfg, reqs, scfg, seed=0, pads=pads,
+                           spec=3)
+
+    mesh = make_mesh(4, 2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        outs = serve_tts_batch(sharded, cfg, reqs, scfg, seed=0, pads=pads,
+                               spec=3, mesh=mesh)
+    for (f1, g1), (f2, g2) in zip(base, outs):
+        np.testing.assert_array_equal(g1, g2)
+        np.testing.assert_array_equal(f1, f2)

@@ -405,6 +405,7 @@ def serve_tts_batch(params, cfg: ModelConfig,
                     pads: Optional[Tuple[int, int, int]] = None,
                     kv_dtype: Optional[str] = None,
                     spec: int = 0,
+                    mesh=None,
                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Decode a batch of (x_tokens [Lx], y_codes [K, T]) requests.
 
@@ -412,6 +413,15 @@ def serve_tts_batch(params, cfg: ModelConfig,
     (make_spec_serving_loop): requires params["mtp_heads"]; greedy per-lane
     output matches the plain serving loop (f32), sampled output uses the
     per-token-index key schedule and is invariant to TAU.
+
+    ``mesh``: a Mesh with a 'data' axis for multi-chip scale-out — lane
+    inputs are committed to P('data') shardings so each data-group decodes
+    its own lanes (params may additionally be tensor-parallel over 'model',
+    parallel/mesh.py); GSPMD keeps every per-lane op local and only the
+    loop's all-lanes-done reduction crosses chips.  B must be divisible by
+    the data axis size.  Lockstep serving is embarrassingly parallel over
+    lanes, so aggregate throughput scales ~linearly with data-parallel
+    chips (tests/test_parallel_inference.py).
 
     Returns [(full_codes, generated_codes)] per request, reference
     inference_tts output semantics per lane.
@@ -437,22 +447,31 @@ def serve_tts_batch(params, cfg: ModelConfig,
         xt[b, :len(x)] = x
         yt[b, :, :p.length] = p.tokens
 
+    def lane_args():
+        arrs = (jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
+                jnp.asarray(p_lens))
+        if mesh is None:
+            return arrs
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert B % mesh.shape["data"] == 0, (B, dict(mesh.shape))
+        return tuple(jax.device_put(
+            a, NamedSharding(mesh, P(*(["data"] + [None] * (a.ndim - 1)))))
+            for a in arrs)
+
     if spec > 1:
         if "mtp_heads" not in params:
             raise ValueError("spec serving needs params['mtp_heads'] "
                              "(train with n_mtp > 0)")
         loop = _get_spec_serving_loop(cfg, B, spec, x_pad, y_pad, gen_max,
                                       scfg, kv_dtype)
-        gen_buf, t_acc, _ = loop(params, jnp.asarray(xt), jnp.asarray(x_lens),
-                                 jnp.asarray(yt), jnp.asarray(p_lens),
+        gen_buf, t_acc, _ = loop(params, *lane_args(),
                                  jax.random.PRNGKey(seed))
         gen_buf = np.asarray(gen_buf)
         n_rows = np.asarray(t_acc)
     else:
         loop = _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg,
                                  kv_dtype)
-        gen_buf, finish_t = loop(params, jnp.asarray(xt), jnp.asarray(x_lens),
-                                 jnp.asarray(yt), jnp.asarray(p_lens),
+        gen_buf, finish_t = loop(params, *lane_args(),
                                  jax.random.PRNGKey(seed))
         gen_buf = np.asarray(gen_buf)
         finish_t = np.asarray(finish_t)
