@@ -222,6 +222,54 @@ class Engine:
                 "sentences": [f"{i}: {s}" for i, s in enumerate(sentences)],
                 "inference_transcript": "\n".join(targets)}
 
+    def tts_stream(self, req: dict):
+        """Generator of WAV byte chunks: header first, then PCM16 audio as
+        the decode loop settles frames (inference/streaming.py — exact, the
+        codec is causal).  Single sentence, no smart-transcript modes;
+        first-audio latency is one engine burst instead of the whole
+        utterance.  Holds the model lock for the duration (one streaming
+        request decodes at a time)."""
+        from voicecraft_tpu.app import normalize_transcript
+        from voicecraft_tpu.inference.streaming import stream_tts
+        from voicecraft_tpu.models import encodec as ec
+        ccfg = self.ccfg
+        target_text = normalize_transcript(req["target_transcript"])
+        prompt_transcript = normalize_transcript(
+            req.get("prompt_transcript", ""))
+        wav = self._decode_wav_b64(req["prompt_wav_b64"])
+        prompt_end = float(req.get("prompt_end_sec", -1))
+        cut = (wav.shape[1] / ccfg.sample_rate if prompt_end <= 0
+               else min(prompt_end, wav.shape[1] / ccfg.sample_rate))
+        codes = ec.encode_bucketed(
+            self.cparams, wav[:, :int(cut * ccfg.sample_rate)], ccfg)[0]
+        target = (prompt_transcript + " "
+                  + target_text.replace("\n", " ")).strip()
+        x = self._phonemize(target)
+        scfg = self._scfg(req)
+        seed = int(req.get("seed", self.args.seed))
+
+        # WAV header with unknown (streaming) sizes
+        import struct
+        hdr = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 1, ccfg.sample_rate,
+                             ccfg.sample_rate * 2, 2, 16)
+               + b"data" + struct.pack("<I", 0xFFFFFFFF))
+        yield hdr
+        if req.get("include_prompt"):
+            pcm = np.round(np.clip(wav[0, :int(cut * ccfg.sample_rate)],
+                                   -1, 1) * 32767).astype("<i2")
+            yield pcm.tobytes()
+        with self.lock:
+            for chunk in stream_tts(self.params, self.cfg, x, codes, scfg,
+                                    seed=seed, cparams=self.cparams,
+                                    ccfg=ccfg,
+                                    burst=int(req.get("burst", 48))):
+                audio = chunk.get("audio")
+                if audio is not None and audio.size:
+                    pcm = np.round(np.clip(audio, -1, 1)
+                                   * 32767).astype("<i2")
+                    yield pcm.tobytes()
+
     def rerun(self, req: dict) -> dict:
         """Regenerate one sentence of a previous TTS session
         (gradio_app.py Rerun mode)."""
@@ -515,6 +563,21 @@ def make_handler(engine: Engine):
             n = int(self.headers.get("Content-Length", 0))
             try:
                 req = json.loads(self.rfile.read(n))
+                if self.path == "/tts_stream":
+                    # stream WAV bytes as frames settle; end = connection
+                    # close (no Content-Length)
+                    gen = engine.tts_stream(req)
+                    first = next(gen)           # raise before headers go out
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.end_headers()
+                    self.wfile.write(first)
+                    self.wfile.flush()
+                    for part in gen:
+                        self.wfile.write(part)
+                        self.wfile.flush()
+                    self.close_connection = True
+                    return
                 if self.path == "/tts":
                     out = engine.tts(req)
                 elif self.path == "/edit":

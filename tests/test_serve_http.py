@@ -170,3 +170,30 @@ def test_tts_sample_batch_size(server):
         "target_transcript": "short line", "top_k": 15,
         "sample_batch_size": 2, "silence_tokens": [5, 7]})
     assert "wav_b64" in r and r["gen_sec"] > 0
+
+
+def test_tts_stream(server):
+    """/tts_stream returns a streaming WAV: header + PCM16 written as the
+    decode settles frames (connection close terminates the stream)."""
+    b64 = _prompt_b64()
+    req = urllib.request.Request(
+        server + "/tts_stream",
+        data=json.dumps({
+            "prompt_wav_b64": b64, "prompt_end_sec": 1.5,
+            "prompt_transcript": "a test prompt",
+            "target_transcript": "streamed hello", "top_k": 15,
+            "burst": 16, "silence_tokens": [5, 7]}).encode(),
+        method="POST")
+    reads = []
+    with urllib.request.urlopen(req, timeout=420) as r:
+        assert r.headers.get("Content-Type") == "audio/wav"
+        while True:
+            blk = r.read(65536)
+            if not blk:
+                break
+            reads.append(blk)
+    data = b"".join(reads)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    pcm = np.frombuffer(data[44:], dtype="<i2")
+    # at least half a second of real audio came through
+    assert pcm.size > 8000 and np.abs(pcm).max() > 0

@@ -1,0 +1,86 @@
+"""Streaming TTS (inference/streaming.py).
+
+The contract is exactness, not approximation: streamed frames concatenate
+to precisely the final ``gen`` (unshift_span is positional, so the prefix
+never changes), and streamed audio is bit-identical to decoding the
+finished utterance in one shot (the EnCodec stack is causal, so prefix
+decode == full decode on the emitted samples).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from voicecraft_tpu.config import tiny_test
+from voicecraft_tpu.models import encodec as ec
+from voicecraft_tpu.models.voicecraft import SamplingConfig, init_params
+from voicecraft_tpu.inference.engine import ContinuousBatcher
+from voicecraft_tpu.inference.streaming import stream_tts
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(42))
+    ccfg = ec.EncodecConfig(n_filters=8, dimension=16, n_q=cfg.n_codebooks,
+                            codebook_size=cfg.audio_vocab_size)
+    cparams = ec.init_encodec(ccfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, cfg.text_vocab_size, 12).astype(np.int32)
+    y = rng.integers(0, cfg.audio_vocab_size,
+                     (cfg.n_codebooks, 30)).astype(np.int32)
+    return cfg, params, ccfg, cparams, x, y
+
+
+def test_streamed_frames_and_audio_are_exact(setup):
+    cfg, params, ccfg, cparams, x, y = setup
+    scfg = SamplingConfig(top_k=10, top_p=0.9, silence_tokens=(5, 7))
+    chunks = list(stream_tts(params, cfg, x, y, scfg, seed=3, burst=16,
+                             cparams=cparams, ccfg=ccfg))
+    assert len(chunks) >= 3, "expected multiple chunks, got one blob"
+    gen = chunks[-1]["gen"]
+    streamed = np.concatenate([c["frames"] for c in chunks], axis=1)
+    np.testing.assert_array_equal(streamed, gen)
+
+    audio = np.concatenate([c["audio"] for c in chunks])
+    full = ec.decode_bucketed(cparams, gen[None].astype(np.int32), ccfg)[0]
+    assert audio.shape == full.shape
+    np.testing.assert_array_equal(audio, full)
+
+
+def test_streaming_matches_non_streamed_engine(setup):
+    """Same seed, same geometry: the streamed request must produce the
+    identical tokens as a plain engine run (per-burst syncing cannot
+    perturb the decode)."""
+    cfg, params, ccfg, cparams, x, y = setup
+    scfg = SamplingConfig(top_k=10, top_p=0.9, silence_tokens=(5, 7))
+    chunks = list(stream_tts(params, cfg, x, y, scfg, seed=3, burst=16))
+    gen_s = chunks[-1]["gen"]
+
+    eng = ContinuousBatcher(params, cfg, lanes=1, x_pad=32, y_pad=64,
+                            gen_max=128, burst=16, scfg=scfg, seed=3)
+    rid = eng.submit(x, y)
+    full, gen_p = eng.run()[rid]
+    np.testing.assert_array_equal(gen_s, gen_p)
+    np.testing.assert_array_equal(chunks[-1]["full"], full)
+
+
+def test_streaming_alongside_batch_lanes(setup):
+    """A streaming request sharing the engine with plain requests: both
+    finish, streamed frames stay a prefix of the streamer's own result."""
+    cfg, params, ccfg, cparams, x, y = setup
+    scfg = SamplingConfig(top_k=10, top_p=0.9, silence_tokens=(5, 7))
+    eng = ContinuousBatcher(params, cfg, lanes=2, x_pad=32, y_pad=64,
+                            gen_max=128, burst=16, scfg=scfg, seed=3)
+    got = []
+    rid_s = eng.submit(x, y, on_rows=got.append)
+    rid_p = eng.submit(x[::-1].copy(), y[:, ::-1].copy())
+    res = eng.run()
+    assert rid_s in res and rid_p in res
+    assert got, "no streaming callbacks fired"
+    from voicecraft_tpu.inference.streaming import frames_from_rows
+    last = frames_from_rows(got[-1], cfg)
+    gen_s = res[rid_s][1]
+    np.testing.assert_array_equal(last, gen_s[:, :last.shape[1]])

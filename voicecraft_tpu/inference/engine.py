@@ -27,7 +27,8 @@ against admission latency: T=32-64 steps ~= 0.6-1.3 s of audio per burst at
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from functools import lru_cache
+from typing import (Any, Callable, Dict, List, NamedTuple, Optional, Tuple)
 
 import numpy as np
 import jax
@@ -411,6 +412,24 @@ def make_prefill_lane_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
     return jax.jit(prefill, donate_argnums=(1, 2))
 
 
+@lru_cache(maxsize=8)
+def _cached_burst_fn(cfg, lanes, x_pad, y_pad, gen_max, burst, scfg):
+    return make_burst_fn(cfg, batch_size=lanes, x_pad=x_pad, y_pad=y_pad,
+                         gen_max=gen_max, burst=burst, scfg=scfg)
+
+
+@lru_cache(maxsize=8)
+def _cached_prefill_batch_fn(cfg, lanes, x_pad, y_pad, s_max, kv_dtype):
+    return make_prefill_batch_fn(cfg, batch_size=lanes, x_pad=x_pad,
+                                 y_pad=y_pad, s_max=s_max, kv_dtype=kv_dtype)
+
+
+@lru_cache(maxsize=8)
+def _cached_prefill_lane_fn(cfg, x_pad, y_pad, s_max, kv_dtype):
+    return make_prefill_lane_fn(cfg, x_pad=x_pad, y_pad=y_pad, s_max=s_max,
+                                kv_dtype=kv_dtype)
+
+
 @dataclass
 class ContinuousBatcher:
     """Host-side orchestrator: admit requests into free lanes between bursts.
@@ -419,6 +438,13 @@ class ContinuousBatcher:
         eng = ContinuousBatcher(params, cfg, lanes=8)
         ids = [eng.submit(x_tokens, y_codes) for ...]
         results = eng.run()           # {id: (full_codes, gen_codes)}
+
+    A request submitted with ``on_rows`` streams: after every burst the
+    engine syncs back (drain cap 1 while any streaming request is live) and
+    invokes ``on_rows(rows)`` with the lane's delayed-space rows so far
+    ([t, K] int32, monotone prefix-stable — see inference/streaming.py for
+    the frame/audio conversion).  Streaming trades the drain loop's saved
+    host round-trips for per-burst latency, by design.
     """
 
     params: Any
@@ -441,15 +467,16 @@ class ContinuousBatcher:
         # ring width W = gen_max + burst keeps every live lane's history
         # strictly inside the ring (t_b <= gen_max - 1 < W)
         self._s_max = self.x_pad + self.y_pad + self.gen_max + self.burst
-        self._burst_fn = make_burst_fn(
-            cfg, batch_size=self.lanes, x_pad=self.x_pad, y_pad=self.y_pad,
-            gen_max=self.gen_max, burst=self.burst, scfg=self.scfg)
-        self._prefill_fn = make_prefill_batch_fn(
-            cfg, batch_size=self.lanes, x_pad=self.x_pad, y_pad=self.y_pad,
-            s_max=self._s_max, kv_dtype=self.kv_dtype)
-        self._prefill_lane_fn = make_prefill_lane_fn(
-            cfg, x_pad=self.x_pad, y_pad=self.y_pad, s_max=self._s_max,
-            kv_dtype=self.kv_dtype)
+        # jitted fns are cached on geometry so short-lived batchers (e.g. one
+        # per streaming HTTP request) don't re-trace/re-compile
+        self._burst_fn = _cached_burst_fn(
+            cfg, self.lanes, self.x_pad, self.y_pad, self.gen_max,
+            self.burst, self.scfg)
+        self._prefill_fn = _cached_prefill_batch_fn(
+            cfg, self.lanes, self.x_pad, self.y_pad, self._s_max,
+            self.kv_dtype)
+        self._prefill_lane_fn = _cached_prefill_lane_fn(
+            cfg, self.x_pad, self.y_pad, self._s_max, self.kv_dtype)
         cache_dtype = (jnp.dtype(self.kv_dtype) if self.kv_dtype
                        else jnp.dtype(cfg.compute_dtype))
         self._cache = trm.init_kv_cache(
@@ -461,14 +488,20 @@ class ContinuousBatcher:
         self._lane_req: List[Optional[int]] = [None] * self.lanes
         self._req_y: Dict[int, np.ndarray] = {}
         self._results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._stream_cbs: Dict[int, Callable] = {}
+        self._stream_sent: Dict[int, int] = {}
         self._next_id = 0
 
-    def submit(self, x_tokens: np.ndarray, y_codes: np.ndarray) -> int:
+    def submit(self, x_tokens: np.ndarray, y_codes: np.ndarray,
+               on_rows: Optional[Callable] = None) -> int:
         rid = self._next_id
         self._next_id += 1
         self._queue.append((rid, np.asarray(x_tokens, np.int32),
                             np.asarray(y_codes, np.int32)))
         self._req_y[rid] = np.asarray(y_codes, np.int32)
+        if on_rows is not None:
+            self._stream_cbs[rid] = on_rows
+            self._stream_sent[rid] = 0
         return rid
 
     # ---- internals -----------------------------------------------------------
@@ -553,8 +586,30 @@ class ContinuousBatcher:
             full = np.concatenate([y, gen], axis=1)
             self._results[rid] = (full, gen)
             self._lane_req[b] = None
+            self._stream_cbs.pop(rid, None)
+            self._stream_sent.pop(rid, None)
             self._lanes = self._lanes._replace(
                 active=self._lanes.active.at[b].set(False))
+
+    def _emit_stream(self):
+        """Invoke streaming callbacks with each live streaming lane's
+        delayed rows so far (monotone, prefix-stable)."""
+        status = np.asarray(self._status)
+        t, finish_t = status[:, 1], status[:, 2]
+        for b in range(self.lanes):
+            rid = self._lane_req[b]
+            if rid is None or rid not in self._stream_cbs:
+                continue
+            # cap at the retirement row count so streamed rows are always a
+            # prefix of the final result (rows past the eog cascade are
+            # frozen-lane noise)
+            n = int(t[b]) if finish_t[b] < 0 else min(int(t[b]),
+                                                      int(finish_t[b]) + 1)
+            if n <= self._stream_sent[rid]:
+                continue
+            rows = np.asarray(self._gen_buf[b])[:n]          # [n, K]
+            self._stream_sent[rid] = n
+            self._stream_cbs[rid](rows)
 
     def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         """Drain the queue; returns {request_id: (full_codes, gen_codes)}."""
@@ -563,14 +618,23 @@ class ContinuousBatcher:
         # loop's exit condition.  So the device can always drain until a
         # retirement: syncing back after every burst (the old
         # queue-non-empty policy) bought no earlier admissions, only ~1 host
-        # round-trip per burst over the TPU tunnel.
-        drain_cap = -(-self.gen_max // self.burst) + 1
+        # round-trip per burst over the TPU tunnel.  Streaming requests
+        # need per-burst syncs, so the drain cap drops to 1 while any are
+        # live (latency over throughput, the point of streaming).
+        full_cap = -(-self.gen_max // self.burst) + 1
         while self._queue or any(r is not None for r in self._lane_req):
             self._admit()
+            streaming = (any(rid in self._stream_cbs
+                             for rid in self._lane_req if rid is not None)
+                         or any(rid in self._stream_cbs
+                                for rid, _, _ in self._queue))
             self._cache, self._lanes, self._gen_buf, self._status = \
                 self._burst_fn(self.params, self._cache, self._lanes,
                                self._gen_buf,
-                               jnp.asarray(drain_cap, jnp.int32))
+                               jnp.asarray(1 if streaming else full_cap,
+                                           jnp.int32))
+            if streaming:
+                self._emit_stream()
             self._retire()
         out, self._results = self._results, {}
         return out

@@ -1,0 +1,157 @@
+"""Streaming TTS: audio chunks while the decode loop is still running.
+
+The reference synthesises a whole utterance before any audio exists
+(inference_tts_scale.py:95-100 decodes once, at the end).  Here the
+continuous-batching engine already pauses at burst boundaries, so a
+streaming request simply rides a lane with per-burst callbacks
+(engine.ContinuousBatcher.submit(on_rows=...)) and the host turns the
+growing delayed-row prefix into settled audio:
+
+  rows [t, K] (delayed space, prefix-stable)
+    -> generated frames via ops.patterns.unshift_span (purely positional,
+       so earlier frames never change as t grows)
+    -> audio via the codec.  The EnCodec stack here is CAUSAL
+       (models/encodec.py), so decoding a PREFIX of the frames yields
+       bit-identical leading samples to decoding the finished utterance —
+       streamed audio is exact, not an approximation
+       (tests/test_streaming.py).
+
+First-audio latency is one burst (~burst/steps_per_sec; 48 steps ~ 1 s of
+audio at 830M single-lane speed) instead of the whole utterance.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..models import encodec as ec
+from ..models.voicecraft import SamplingConfig
+from ..ops import patterns
+from .engine import ContinuousBatcher
+
+
+def _ceil(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def frames_from_rows(rows: np.ndarray, cfg: ModelConfig) -> np.ndarray:
+    """Delayed-space rows [t, K] -> generated frames [K, max(t - K, 0)].
+
+    Matches ContinuousBatcher._retire's conversion (unshift + special_first
+    un-shift), so the streamed frames are a strict prefix of the final
+    ``gen`` result.
+    """
+    K = cfg.n_codebooks
+    if rows.shape[0] <= K:
+        return np.zeros((K, 0), np.int32)
+    frames = patterns.unshift_span(rows.T).astype(np.int32)
+    if cfg.special_first:
+        frames = frames - cfg.n_special
+    return frames
+
+
+class AudioStreamer:
+    """Turns a growing frame prefix into exact PCM chunks.
+
+    The codec is causal, so ``decode(frames[:, :n])`` agrees with the full
+    decode on all n*hop leading samples; each feed re-decodes the prefix
+    (jitted + bucketed — microseconds per call, models/encodec.py
+    decode_bucketed) and returns only the new samples.
+    """
+
+    def __init__(self, cparams, ccfg: ec.EncodecConfig,
+                 bucket_frames: int = 100):
+        self.cparams = cparams
+        self.ccfg = ccfg
+        self.bucket = bucket_frames
+        self.frames = np.zeros((ccfg.n_q, 0), np.int32)
+        self._sent_samples = 0
+
+    def feed(self, new_frames: np.ndarray) -> np.ndarray:
+        if new_frames.shape[1] == 0:
+            return np.zeros((0,), np.float32)
+        self.frames = np.concatenate([self.frames, new_frames], axis=1)
+        wav = ec.decode_bucketed(self.cparams, self.frames[None], self.ccfg,
+                                 bucket_frames=self.bucket)[0]
+        end = self.frames.shape[1] * self.ccfg.hop_length
+        out = wav[self._sent_samples:end]
+        self._sent_samples = end
+        return np.asarray(out, np.float32)
+
+
+def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
+               y_codes: np.ndarray,
+               scfg: SamplingConfig = SamplingConfig(),
+               *, seed: int = 1,
+               cparams=None, ccfg: Optional[ec.EncodecConfig] = None,
+               burst: int = 48, gen_max: Optional[int] = None,
+               kv_dtype: Optional[str] = None) -> Iterator[dict]:
+    """Generator of streaming TTS chunks for one request.
+
+    Yields dicts with ``frames`` ([K, m] newly settled generated codec
+    frames) and, when a codec is supplied, ``audio`` (np.float32 samples —
+    exact prefix of the final waveform).  The last chunk additionally
+    carries ``full``/``gen`` with inference_tts output semantics; the
+    streamed frames concatenate to exactly ``gen``.
+    """
+    K = cfg.n_codebooks
+    x_tokens = np.asarray(x_tokens, np.int32)
+    y_codes = np.asarray(y_codes, np.int32)
+    cap = cfg.encodec_sr // 5
+    prefix_len = y_codes.shape[1] + 1   # compose_tts_prefix: T + 1 columns
+    if gen_max is None:
+        gen_max = max(len(x_tokens) * cap - prefix_len + K + 8, 2 * K + 8)
+    gen_max = _ceil(gen_max, 128)
+
+    eng = ContinuousBatcher(
+        params, cfg, lanes=1,
+        x_pad=_ceil(len(x_tokens), 32),
+        y_pad=_ceil(prefix_len, 64),
+        gen_max=gen_max, burst=burst, scfg=scfg, seed=seed,
+        kv_dtype=kv_dtype)
+
+    q: "queue.Queue" = queue.Queue()
+    sent = {"n": 0}
+
+    def on_rows(rows):
+        frames = frames_from_rows(rows, cfg)
+        if frames.shape[1] > sent["n"]:
+            new = frames[:, sent["n"]:]
+            sent["n"] = frames.shape[1]
+            q.put(("frames", new))
+
+    rid = eng.submit(x_tokens, y_codes, on_rows=on_rows)
+
+    def work():
+        try:
+            res = eng.run()
+            q.put(("done", res[rid]))
+        except Exception as e:  # surfaced to the consumer
+            q.put(("error", e))
+
+    threading.Thread(target=work, daemon=True).start()
+
+    streamer = (AudioStreamer(cparams, ccfg)
+                if cparams is not None and ccfg is not None else None)
+    while True:
+        kind, payload = q.get()
+        if kind == "error":
+            raise payload
+        if kind == "frames":
+            chunk = {"frames": payload}
+            if streamer is not None:
+                chunk["audio"] = streamer.feed(payload)
+            yield chunk
+            continue
+        full, gen = payload
+        rest = gen[:, sent["n"]:]
+        chunk = {"frames": rest, "full": full, "gen": gen}
+        if streamer is not None:
+            chunk["audio"] = streamer.feed(rest)
+        yield chunk
+        return
