@@ -72,6 +72,10 @@ def main():
                          "at 4 and WORSE at 8 — see PERF.md negative "
                          "results; the while_loop has no per-iteration "
                          "host cost to amortise)")
+    ap.add_argument("--stream", action="store_true",
+                    help="measure streaming TTS first-audio latency "
+                         "(inference/streaming.py over the engine, burst "
+                         "from --burst) and steady-state chunk cadence")
     args = ap.parse_args()
     args.fp8 = not args.bf16
 
@@ -110,6 +114,9 @@ def main():
         return
     if args.spec:
         _bench_spec(args, cfg, params, rng)
+        return
+    if args.stream:
+        _bench_stream(args, cfg, params, rng)
         return
 
     x_tokens = rng.integers(0, cfg.text_vocab_size, args.phones).astype(np.int32)
@@ -249,6 +256,59 @@ def _bench_spec(args, cfg, params, rng):
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf, 3),
+    }))
+
+
+def _bench_stream(args, cfg, params, rng):
+    """Streaming TTS: wall-clock to first audible chunk + chunk cadence.
+
+    Runs stream_tts (engine burst syncing + causal codec prefix decode) on
+    one request; the headline is first-audio latency — the user hears
+    sound this long after submitting, vs the full-utterance latency of
+    one-shot decoding."""
+    from voicecraft_tpu.models import encodec as ec
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    from voicecraft_tpu.inference.streaming import stream_tts
+
+    K = cfg.n_codebooks
+    ccfg = ec.EncodecConfig()            # random weights: timing-equivalent
+    import jax
+    cparams = ec.init_encodec(ccfg, jax.random.PRNGKey(0))
+    x_tokens = rng.integers(0, cfg.text_vocab_size,
+                            args.phones).astype(np.int32)
+    prompt = rng.integers(0, cfg.audio_vocab_size,
+                          (K, args.prompt_frames)).astype(np.int32)
+    scfg = SamplingConfig(top_k=40, top_p=1.0, temperature=1.0,
+                          stop_repetition=3)
+
+    def run():
+        t0 = time.perf_counter()
+        first, chunks, frames = None, 0, 0
+        for c in stream_tts(params, cfg, x_tokens, prompt, scfg, seed=1,
+                            cparams=cparams, ccfg=ccfg, burst=args.burst,
+                            kv_dtype="float8_e4m3fn" if args.kv_fp8
+                            else None):
+            if c.get("audio") is not None and c["audio"].size and first is None:
+                first = time.perf_counter() - t0
+            chunks += 1
+            frames += c["frames"].shape[1]
+        return first, time.perf_counter() - t0, chunks, frames
+
+    first, total, chunks, frames = run()      # compile
+    print(f"compile+first run: {total:.1f}s", file=sys.stderr)
+    results = [run() for _ in range(args.iters)]
+    first = min(r[0] for r in results)
+    total = min(r[1] for r in results)
+    chunks, frames = results[0][2], results[0][3]
+    audio_sec = frames / cfg.encodec_sr
+    print(f"stream: first audio {first * 1e3:.0f} ms, {chunks} chunks, "
+          f"{frames} frames ({audio_sec:.1f}s audio) in {total:.2f}s "
+          f"({audio_sec / total:.1f}x realtime)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"tts_stream_first_audio_ms_burst{args.burst}",
+        "value": round(first * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round((audio_sec / total), 2),
     }))
 
 
@@ -401,7 +461,8 @@ def _bench_engine(args, cfg, params, rng):
             params, cfg, lanes=lanes, x_pad=128,
             y_pad=((args.prompt_frames + K + 8 + 63) // 64) * 64,
             gen_max=args.frames + 16, burst=args.burst, scfg=scfg, seed=0,
-            kv_dtype="float8_e4m3fn" if args.kv_fp8 else None)
+            kv_dtype="float8_e4m3fn" if args.kv_fp8 else None,
+            spec=args.spec, spec_force_accept=args.spec_accept)
 
     eng = make_engine()
     t0 = time.perf_counter()
@@ -429,8 +490,10 @@ def _bench_engine(args, cfg, params, rng):
           f"~{per_iter:.0f} device steps/iter -> {best / per_iter * 1e3:.2f} "
           f"ms/step, lane occupancy "
           f"{frames / (per_iter * lanes) * 100:.0f}%", file=sys.stderr)
+    suffix = ("" if args.spec <= 1 else
+              f"_spec{args.spec}" + ("_ceiling" if args.spec_accept else ""))
     print(json.dumps({
-        "metric": f"tts_engine_rtf_830m_l{lanes}",
+        "metric": f"tts_engine_rtf_830m_l{lanes}{suffix}",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf, 2),

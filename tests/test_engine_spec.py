@@ -1,0 +1,80 @@
+"""Speculative continuous batching (engine.make_spec_burst_fn).
+
+The verification contract carries over from spec serving: greedy output
+per request must be token-identical to the PLAIN engine and to
+single-stream decode (f32 compute), including through mid-flight lane
+refill — acceptance patterns, lane placement, and draft count must be
+invisible in the tokens.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from voicecraft_tpu.config import tiny_test
+from voicecraft_tpu.models.voicecraft import SamplingConfig, init_params
+from voicecraft_tpu.inference.engine import ContinuousBatcher
+from voicecraft_tpu.inference.tts import inference_tts
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32", n_mtp=3)
+    params = init_params(cfg, jax.random.PRNGKey(42))
+    rng = np.random.default_rng(0)
+    reqs = [(rng.integers(0, cfg.text_vocab_size, 8 + b).astype(np.int32),
+             rng.integers(0, cfg.audio_vocab_size,
+                          (cfg.n_codebooks, 14 + 4 * b)).astype(np.int32))
+            for b in range(4)]
+    return cfg, params, reqs
+
+
+def test_spec_engine_greedy_matches_plain_and_single(setup):
+    """4 requests over 2 lanes (forces refill), tau=4."""
+    cfg, params, reqs = setup
+    g = SamplingConfig(temperature=0.0, silence_tokens=())
+
+    eng_s = ContinuousBatcher(params, cfg, lanes=2, x_pad=32, y_pad=64,
+                              gen_max=128, burst=16, scfg=g, seed=3, spec=4)
+    ids_s = [eng_s.submit(x, y) for x, y in reqs]
+    res_s = eng_s.run()
+
+    eng_p = ContinuousBatcher(params, cfg, lanes=2, x_pad=32, y_pad=64,
+                              gen_max=128, burst=16, scfg=g, seed=3)
+    ids_p = [eng_p.submit(x, y) for x, y in reqs]
+    res_p = eng_p.run()
+
+    for rid_s, rid_p, (x, y) in zip(ids_s, ids_p, reqs):
+        np.testing.assert_array_equal(res_s[rid_s][1], res_p[rid_p][1])
+        np.testing.assert_array_equal(res_s[rid_s][0], res_p[rid_p][0])
+        _, g1 = inference_tts(params, cfg, x, y, g, seed=0)
+        np.testing.assert_array_equal(res_s[rid_s][1], g1)
+
+
+def test_spec_engine_sampled_invariant_to_tau_and_lanes(setup):
+    """Sampled output keys RNG on (request id, token index): identical for
+    any draft count AND any lane count / admission order."""
+    cfg, params, reqs = setup
+    s = SamplingConfig(top_k=10, top_p=0.9, temperature=1.0,
+                       stop_repetition=3, silence_tokens=(5, 7))
+    outs = []
+    for spec, lanes in ((2, 2), (4, 2), (4, 3)):
+        eng = ContinuousBatcher(params, cfg, lanes=lanes, x_pad=32, y_pad=64,
+                                gen_max=128, burst=16, scfg=s, seed=3,
+                                spec=spec)
+        ids = [eng.submit(x, y) for x, y in reqs]
+        res = eng.run()
+        outs.append([res[r][1] for r in ids])
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(outs[0], outs[2]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_spec_engine_requires_mtp_heads(setup):
+    cfg, params, reqs = setup
+    bare = {k: v for k, v in params.items() if k != "mtp_heads"}
+    with pytest.raises(ValueError, match="mtp_heads"):
+        ContinuousBatcher(bare, cfg, lanes=2, spec=4)

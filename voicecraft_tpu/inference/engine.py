@@ -54,11 +54,13 @@ class LaneState(NamedTuple):
     prev: jnp.ndarray         # [B]
     finish_t: jnp.ndarray     # [B], -1 until the eog cascade completes
     logits: jnp.ndarray       # [B, K, card] next-slot predictions
+    h: jnp.ndarray            # [B, D] last hidden (spec-mode MTP drafts)
+    admit_id: jnp.ndarray     # [B] admission counter (spec-mode RNG keying)
     rng: jnp.ndarray
     gstep: jnp.ndarray        # scalar: global steps taken (ring write clock)
 
 
-def _empty_lanes(B: int, K: int, card: int, seed: int) -> LaneState:
+def _empty_lanes(B: int, K: int, card: int, D: int, seed: int) -> LaneState:
     return LaneState(
         active=jnp.zeros((B,), bool),
         t=jnp.zeros((B,), jnp.int32),
@@ -69,6 +71,8 @@ def _empty_lanes(B: int, K: int, card: int, seed: int) -> LaneState:
         prev=jnp.full((B,), -1, jnp.int32),
         finish_t=jnp.full((B,), -1, jnp.int32),
         logits=jnp.zeros((B, K, card), jnp.float32),
+        h=jnp.zeros((B, D), jnp.float32),
+        admit_id=jnp.zeros((B,), jnp.int32),
         rng=jax.random.PRNGKey(seed),
         gstep=jnp.asarray(0, jnp.int32))
 
@@ -217,7 +221,7 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                 t = jnp.where(live, jnp.minimum(s.t + 1, gen_max - 1), s.t)
                 new_s = LaneState(s.active, t, s.x_lens, s.prefix_lens,
                                   new_eog, consec, prev, finish_t, logits,
-                                  rng, s.gstep + 1)
+                                  s.h, s.admit_id, rng, s.gstep + 1)
                 return (cache, gen_recent, new_s), None
 
             (cache, gen_recent, new_lanes), _ = jax.lax.scan(
@@ -267,6 +271,178 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
     return jax.jit(burst_fn, donate_argnums=(1, 3))
 
 
+def make_spec_burst_fn(cfg: ModelConfig, *, batch_size: int, n_draft: int,
+                       x_pad: int, y_pad: int, gen_max: int, burst: int,
+                       scfg: SamplingConfig, force_accept: bool = False):
+    """Jitted: speculative burst — verified tau-token passes for all lanes.
+
+    Speculative continuous batching: each device pass feeds every live lane
+    its true next token + ``n_draft - 1`` MTP drafts through ONE block
+    forward and accepts per lane the prefix the plain loop would emit
+    (serving.make_spec_serving_loop semantics, with the engine's
+    admit/retire lane management around it).  Unlike the plain engine's
+    ring slab, accepted tokens stay COMPACT per lane — each pass scatters
+    its block at per-lane offsets (transformer.decode_step_multi_block) so
+    variable acceptance never fragments lane history.
+
+    Per-token RNG is fold_in(fold_in(rng, admit_id_b), t_b + i): keyed on
+    the admission (not the lane), so output is independent of lane
+    placement, refill timing, and n_draft.
+
+    Returns fn(params, cache, lanes, gen_buf [B, gen_max + tau, K],
+               max_bursts) -> (cache, lanes, gen_buf, status [B,4]).
+    """
+    K, D = cfg.n_codebooks, cfg.d_model
+    B = batch_size
+    tau = n_draft
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cap_mult = cfg.encodec_sr // 5
+    y_start = x_pad + y_pad
+    passes = max(1, burst // tau)
+    pe_np = sine_table(MAX_POS, D)
+
+    sample_lanes = jax.vmap(
+        lambda rng, lg, eog, cng, cs, pt, yp, xl: _adjust_and_sample(
+            cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl))
+
+    def burst_fn(params, cache, lanes: LaneState, gen_buf, max_bursts):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        alpha_a = params["alpha_audio"].astype(dtype)
+        empty_row = jnp.full((B, K), cfg.empty_token, jnp.int32)
+        lane_ids = jnp.arange(B)
+
+        def one_pass(cache, s: LaneState, gen_buf):
+            live = (s.active & jnp.logical_not(jnp.all(s.codebook_eog, 1))
+                    & (s.t < gen_max))
+            req_keys = jax.vmap(
+                lambda aid: jax.random.fold_in(s.rng, aid))(s.admit_id)
+
+            def tok_key(i):
+                return jax.vmap(jax.random.fold_in)(req_keys, s.t + i)
+
+            y_pos0 = jnp.minimum(s.prefix_lens + s.t, MAX_POS - tau - 1)
+
+            logits_f = s.logits.astype(jnp.float32)
+            t0, eog0, consec0, prev0 = sample_lanes(
+                tok_key(0), logits_f, s.codebook_eog, s.t,
+                s.consec, s.prev, y_pos0, s.x_lens)
+            t0 = jnp.where(live[:, None], t0, empty_row)
+            eog0 = jnp.where(live[:, None], eog0, s.codebook_eog)
+
+            if tau > 1:
+                mtp = jax.tree.map(lambda x: x[:tau - 1], params["mtp_heads"])
+                h_b = s.h.astype(dtype)
+                d_logits = jax.vmap(
+                    lambda hd: apply_heads(hd, h_b))(mtp)   # [tau-1,B,K,card]
+                drafts = jnp.argmax(d_logits, axis=-1).astype(jnp.int32)
+                cng_d = (s.t[None, :, None] + 1
+                         + jnp.arange(tau - 1)[:, None, None])
+                drafts = jnp.where(jnp.arange(K)[None, None, :] > cng_d,
+                                   cfg.empty_token, drafts)
+                tokens = jnp.concatenate([t0[None], drafts], axis=0)
+            else:
+                tokens = t0[None]
+            tokens_b = tokens.transpose(1, 0, 2)            # [B, tau, K]
+
+            emb = embed_audio_tokens(
+                params["audio_emb"],
+                tokens_b.transpose(0, 2, 1)).astype(dtype)  # [B, tau, D]
+            pos_grid = y_pos0[:, None] + jnp.arange(tau)[None, :]
+            feed = emb + alpha_a * jnp.take(pe, pos_grid, axis=0)
+            h_blk, cache = trm.decode_step_multi_block(
+                params["decoder"], feed, cache, y_start + s.t, cfg.nhead,
+                s.x_lens, x_pad, s.prefix_lens, y_start, gen_lens=s.t)
+            logits_blk = apply_heads(params["heads"], h_blk)  # [B,tau,K,card]
+
+            emitted = [t0]
+            alive = live & jnp.logical_not(jnp.all(eog0, axis=1))
+            st = (eog0,
+                  s.t + live.astype(jnp.int32),
+                  jnp.where(live, consec0, s.consec),
+                  jnp.where(live, prev0, s.prev))
+            n_acc = live.astype(jnp.int32)
+            for i in range(1, tau):
+                eog_c, cng_c, consec_c, prev_c = st
+                ti, eog_i, consec_i, prev_i = sample_lanes(
+                    tok_key(i), logits_blk[:, i - 1], eog_c, cng_c,
+                    consec_c, prev_c, y_pos0 + i, s.x_lens)
+                if force_accept:   # bench ceiling: simulated 100% acceptance
+                    match = jnp.ones((B,), bool)
+                    ti = tokens_b[:, i]
+                else:
+                    match = jnp.all(ti == tokens_b[:, i], axis=1)
+                accept = alive & match & (s.t + i < gen_max)
+                emitted.append(jnp.where(accept[:, None], ti, 0))
+                n_acc = n_acc + accept.astype(jnp.int32)
+                st = (jnp.where(accept[:, None], eog_i, eog_c),
+                      jnp.where(accept, cng_c + 1, cng_c),
+                      jnp.where(accept, consec_i, consec_c),
+                      jnp.where(accept, prev_i, prev_c))
+                alive = alive & accept & jnp.logical_not(
+                    jnp.all(eog_i, axis=1))
+
+            eog_f, _, consec_f, prev_f = st
+            blk = jnp.stack(emitted, axis=1)                # [B, tau, K]
+            r_idx = s.t[:, None] + jnp.arange(tau)[None, :]
+            gen_buf = gen_buf.at[lane_ids[:, None], r_idx].set(
+                jnp.where(live[:, None, None], blk,
+                          gen_buf[lane_ids[:, None], r_idx]))
+
+            last = jnp.maximum(n_acc - 1, 0)
+            logits_next = jnp.take_along_axis(
+                logits_blk, last[:, None, None, None], axis=1)[:, 0]
+            h_next = jnp.take_along_axis(h_blk, last[:, None, None],
+                                         axis=1)[:, 0]
+            logits_next = jnp.where(live[:, None, None],
+                                    logits_next.astype(s.logits.dtype),
+                                    s.logits)
+            h_next = jnp.where(live[:, None], h_next.astype(jnp.float32),
+                               s.h)
+
+            t_new = s.t + n_acc
+            done_now = live & jnp.all(eog_f, axis=1)
+            finish_t = jnp.where(done_now, t_new - 1, s.finish_t)
+
+            new_s = LaneState(s.active, t_new, s.x_lens, s.prefix_lens,
+                              eog_f, consec_f, prev_f, finish_t,
+                              logits_next, h_next, s.admit_id, s.rng,
+                              s.gstep + 1)
+            return cache, new_s, gen_buf
+
+        def one_burst(cache, lanes, gen_buf):
+            def step(carry, _):
+                cache, s, gen_buf = carry
+                cache, s, gen_buf = one_pass(cache, s, gen_buf)
+                return (cache, s, gen_buf), None
+            (cache, lanes, gen_buf), _ = jax.lax.scan(
+                step, (cache, lanes, gen_buf), None, length=passes)
+            return cache, lanes, gen_buf
+
+        def drain_cond(state):
+            n, cache, lanes, gen_buf = state
+            finished = lanes.active & jnp.all(lanes.codebook_eog, axis=1)
+            capped = lanes.active & (lanes.t >= gen_max - 1)
+            return ((n < max_bursts) & jnp.any(lanes.active)
+                    & jnp.logical_not(jnp.any(finished | capped)))
+
+        def drain_body(state):
+            n, cache, lanes, gen_buf = state
+            cache, lanes, gen_buf = one_burst(cache, lanes, gen_buf)
+            return n + 1, cache, lanes, gen_buf
+
+        cache, lanes, gen_buf = one_burst(cache, lanes, gen_buf)
+        _, cache, lanes, gen_buf = jax.lax.while_loop(
+            drain_cond, drain_body, (jnp.asarray(1, jnp.int32), cache,
+                                     lanes, gen_buf))
+
+        status = jnp.stack(
+            [lanes.active.astype(jnp.int32), lanes.t, lanes.finish_t,
+             jnp.all(lanes.codebook_eog, axis=1).astype(jnp.int32)], axis=1)
+        return cache, lanes, gen_buf, status
+
+    return jax.jit(burst_fn, donate_argnums=(1, 3))
+
+
 def make_prefill_batch_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                           y_pad: int, s_max: int,
                           kv_dtype: Optional[str] = None):
@@ -288,7 +464,7 @@ def make_prefill_batch_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
     pe_np = sine_table(MAX_POS, D)
 
     def prefill(params, cache, lanes: LaneState, admit, x_tokens, x_lens,
-                y_prefix, prefix_lens):
+                y_prefix, prefix_lens, admit_ids):
         pe = jnp.asarray(pe_np).astype(dtype)
         x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
         x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
@@ -332,6 +508,9 @@ def make_prefill_batch_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
             logits=jnp.where(m[:, None, None],
                              logits0.astype(lanes.logits.dtype),
                              lanes.logits),
+            h=jnp.where(m[:, None], h_last[:, 0].astype(jnp.float32),
+                        lanes.h),
+            admit_id=jnp.where(m, admit_ids, lanes.admit_id),
             rng=lanes.rng,
             gstep=lanes.gstep)
         return cache, lanes
@@ -361,7 +540,7 @@ def make_prefill_lane_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
     pe_np = sine_table(MAX_POS, D)
 
     def prefill(params, cache, lanes: LaneState, lane_idx, x_tokens, x_len,
-                y_prefix, prefix_len):
+                y_prefix, prefix_len, admit_id):
         pe = jnp.asarray(pe_np).astype(dtype)
         x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
         x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
@@ -405,6 +584,8 @@ def make_prefill_lane_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
             finish_t=lanes.finish_t.at[b].set(-1),
             logits=lanes.logits.at[b].set(
                 logits0[0].astype(lanes.logits.dtype)),
+            h=lanes.h.at[b].set(h_last[0, 0].astype(jnp.float32)),
+            admit_id=lanes.admit_id.at[b].set(admit_id),
             rng=lanes.rng,
             gstep=lanes.gstep)
         return cache, lanes
@@ -416,6 +597,15 @@ def make_prefill_lane_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
 def _cached_burst_fn(cfg, lanes, x_pad, y_pad, gen_max, burst, scfg):
     return make_burst_fn(cfg, batch_size=lanes, x_pad=x_pad, y_pad=y_pad,
                          gen_max=gen_max, burst=burst, scfg=scfg)
+
+
+@lru_cache(maxsize=8)
+def _cached_spec_burst_fn(cfg, lanes, n_draft, x_pad, y_pad, gen_max, burst,
+                          scfg, force_accept=False):
+    return make_spec_burst_fn(cfg, batch_size=lanes, n_draft=n_draft,
+                              x_pad=x_pad, y_pad=y_pad, gen_max=gen_max,
+                              burst=burst, scfg=scfg,
+                              force_accept=force_accept)
 
 
 @lru_cache(maxsize=8)
@@ -460,18 +650,34 @@ class ContinuousBatcher:
     # fp8 — every decode step reads the whole [B, S_max] slab, so this halves
     # the dominant HBM traffic vs bf16 at a small attention-precision cost.
     kv_dtype: Optional[str] = None
+    # spec=TAU (>1): speculative continuous batching — verified TAU-token
+    # passes per lane (make_spec_burst_fn); needs params['mtp_heads'].
+    spec: int = 0
+    # bench only: simulated 100% draft acceptance (throughput ceiling)
+    spec_force_accept: bool = False
 
     def __post_init__(self):
         cfg = self.cfg
         K = cfg.n_codebooks
-        # ring width W = gen_max + burst keeps every live lane's history
-        # strictly inside the ring (t_b <= gen_max - 1 < W)
-        self._s_max = self.x_pad + self.y_pad + self.gen_max + self.burst
-        # jitted fns are cached on geometry so short-lived batchers (e.g. one
-        # per streaming HTTP request) don't re-trace/re-compile
-        self._burst_fn = _cached_burst_fn(
-            cfg, self.lanes, self.x_pad, self.y_pad, self.gen_max,
-            self.burst, self.scfg)
+        if self.spec > 1 and "mtp_heads" not in self.params:
+            raise ValueError("spec engine needs params['mtp_heads'] "
+                             "(train with n_mtp > 0)")
+        if self.spec > 1:
+            # compact per-lane offsets: slab slack is one block, not a ring
+            self._s_max = self.x_pad + self.y_pad + self.gen_max + self.spec
+            self._burst_fn = _cached_spec_burst_fn(
+                cfg, self.lanes, self.spec, self.x_pad, self.y_pad,
+                self.gen_max, self.burst, self.scfg,
+                self.spec_force_accept)
+        else:
+            # ring width W = gen_max + burst keeps every live lane's history
+            # strictly inside the ring (t_b <= gen_max - 1 < W)
+            self._s_max = self.x_pad + self.y_pad + self.gen_max + self.burst
+            # jitted fns are cached on geometry so short-lived batchers (e.g.
+            # one per streaming HTTP request) don't re-trace/re-compile
+            self._burst_fn = _cached_burst_fn(
+                cfg, self.lanes, self.x_pad, self.y_pad, self.gen_max,
+                self.burst, self.scfg)
         self._prefill_fn = _cached_prefill_batch_fn(
             cfg, self.lanes, self.x_pad, self.y_pad, self._s_max,
             self.kv_dtype)
@@ -482,8 +688,10 @@ class ContinuousBatcher:
         self._cache = trm.init_kv_cache(
             cfg.num_decoder_layers, self.lanes, self._s_max, cfg.nhead,
             cfg.head_dim, cache_dtype)
-        self._lanes = _empty_lanes(self.lanes, K, cfg.card, self.seed)
-        self._gen_buf = jnp.zeros((self.lanes, self.gen_max, K), jnp.int32)
+        self._lanes = _empty_lanes(self.lanes, K, cfg.card, cfg.d_model,
+                                   self.seed)
+        self._gen_buf = jnp.zeros(
+            (self.lanes, self.gen_max + max(self.spec, 0), K), jnp.int32)
         self._queue: List[Tuple[int, np.ndarray, np.ndarray]] = []
         self._lane_req: List[Optional[int]] = [None] * self.lanes
         self._req_y: Dict[int, np.ndarray] = {}
@@ -531,12 +739,14 @@ class ContinuousBatcher:
             return
         if len(pending) > self.lanes // 2:
             admit = np.zeros((B,), bool)
+            admit_ids = np.zeros((B,), np.int32)
             xt = np.full((B, self.x_pad), cfg.text_pad_token, np.int32)
             x_lens = np.ones((B,), np.int32)
             yt = np.full((B, K, self.y_pad), cfg.empty_token, np.int32)
             p_lens = np.ones((B,), np.int32)
             for b, rid, x, prefix in pending:
                 admit[b] = True
+                admit_ids[b] = rid       # request id keys spec-mode RNG
                 xt[b, :len(x)] = x
                 x_lens[b] = len(x)
                 yt[b, :, :prefix.length] = prefix.tokens
@@ -544,7 +754,7 @@ class ContinuousBatcher:
             self._cache, self._lanes = self._prefill_fn(
                 self.params, self._cache, self._lanes, jnp.asarray(admit),
                 jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
-                jnp.asarray(p_lens))
+                jnp.asarray(p_lens), jnp.asarray(admit_ids))
         else:
             for b, rid, x, prefix in pending:
                 xt = np.full((1, self.x_pad), cfg.text_pad_token, np.int32)
@@ -555,7 +765,8 @@ class ContinuousBatcher:
                     self.params, self._cache, self._lanes,
                     jnp.asarray(b, jnp.int32), jnp.asarray(xt),
                     jnp.asarray(len(x), jnp.int32), jnp.asarray(yt),
-                    jnp.asarray(prefix.length, jnp.int32))
+                    jnp.asarray(prefix.length, jnp.int32),
+                    jnp.asarray(rid, jnp.int32))
         for b, rid, _, _ in pending:
             self._lane_req[b] = rid
 
