@@ -262,7 +262,8 @@ class Engine:
         with self.lock:
             for chunk in stream_tts(self.params, self.cfg, x, codes, scfg,
                                     seed=seed, cparams=self.cparams,
-                                    ccfg=ccfg,
+                                    ccfg=ccfg, kv_dtype=self.kv_dtype,
+                                    spec=self.spec,
                                     burst=int(req.get("burst", 48))):
                 audio = chunk.get("audio")
                 if audio is not None and audio.size:

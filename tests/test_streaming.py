@@ -84,3 +84,17 @@ def test_streaming_alongside_batch_lanes(setup):
     last = frames_from_rows(got[-1], cfg)
     gen_s = res[rid_s][1]
     np.testing.assert_array_equal(last, gen_s[:, :last.shape[1]])
+
+
+def test_streaming_with_speculative_engine(setup):
+    """Streaming over the spec engine: greedy chunks must concatenate to
+    the same tokens as plain streaming (verification is invisible)."""
+    cfg0, params0, ccfg, cparams, x, y = setup
+    cfg = dataclasses.replace(cfg0, n_mtp=2)
+    params = init_params(cfg, jax.random.PRNGKey(42))
+    g = SamplingConfig(temperature=0.0, silence_tokens=())
+    plain = list(stream_tts(params, cfg, x, y, g, seed=3, burst=16))
+    spec = list(stream_tts(params, cfg, x, y, g, seed=3, burst=16, spec=3))
+    np.testing.assert_array_equal(spec[-1]["gen"], plain[-1]["gen"])
+    streamed = np.concatenate([c["frames"] for c in spec], axis=1)
+    np.testing.assert_array_equal(streamed, spec[-1]["gen"])

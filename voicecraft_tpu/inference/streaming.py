@@ -90,7 +90,8 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
                *, seed: int = 1,
                cparams=None, ccfg: Optional[ec.EncodecConfig] = None,
                burst: int = 48, gen_max: Optional[int] = None,
-               kv_dtype: Optional[str] = None) -> Iterator[dict]:
+               kv_dtype: Optional[str] = None,
+               spec: int = 0) -> Iterator[dict]:
     """Generator of streaming TTS chunks for one request.
 
     Yields dicts with ``frames`` ([K, m] newly settled generated codec
@@ -113,7 +114,7 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
         x_pad=_ceil(len(x_tokens), 32),
         y_pad=_ceil(prefix_len, 64),
         gen_max=gen_max, burst=burst, scfg=scfg, seed=seed,
-        kv_dtype=kv_dtype)
+        kv_dtype=kv_dtype, spec=spec)
 
     q: "queue.Queue" = queue.Queue()
     sent = {"n": 0}
