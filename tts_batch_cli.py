@@ -77,6 +77,11 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--language", default="en-us")
     ap.add_argument("--text-backend", default="auto")
+    ap.add_argument("--kv-fp8", action="store_true",
+                    help="fp8 KV slab for the serving waves")
+    ap.add_argument("--spec", type=int, default=0, metavar="TAU",
+                    help="speculative decoding across lanes (checkpoint "
+                         "must carry MTP heads; greedy output identical)")
     ap.add_argument("--fp8", action="store_true",
                     help="weight-only fp8 serving quantization")
     ap.add_argument("--wer", action="store_true",
@@ -136,7 +141,10 @@ def main():
     for lo in range(0, len(reqs), args.lanes):
         wave_reqs = reqs[lo:lo + args.lanes]
         wave_meta = metas[lo:lo + args.lanes]
-        outs = (serve_tts_batch(params, cfg, wave_reqs, scfg, seed=args.seed)
+        outs = (serve_tts_batch(
+                    params, cfg, wave_reqs, scfg, seed=args.seed,
+                    kv_dtype="float8_e4m3fn" if args.kv_fp8 else None,
+                    spec=args.spec)
                 if len(wave_reqs) > 1 else None)
         if outs is None:
             from voicecraft_tpu.inference.tts import inference_tts
