@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="measure training throughput (codec tokens/s/chip, "
                          "forward+backward+ScaledAdam)")
+    ap.add_argument("--train-batch", type=int, default=0,
+                    help="override the training bench batch size "
+                         "(default: 4 for >400M models, else 16)")
     ap.add_argument("--engine", type=int, default=0, metavar="LANES",
                     help="measure continuous-batching aggregate throughput: "
                          "2x LANES mixed-length requests, lanes refill "
@@ -330,7 +333,9 @@ def _bench_train(args):
     big = param_count(params) > 4e8
     make = make_train_step_two_phase if big else make_train_step
     step = make(cfg, tx)
-    B = 4 if big else 16
+    # measured on v5e (PERF.md "Training throughput"): 830M two-phase fits
+    # B=10 (30.1k tokens/s) and OOMs at 12; default 8 keeps margin
+    B = args.train_batch or (8 if big else 16)
     batch = _synthetic_batch(cfg, B=B, Sx=160, y_len=480, seed=1)
     t0 = time.perf_counter()
     params, opt_state, m = step(params, opt_state, batch, jax.random.PRNGKey(1))
