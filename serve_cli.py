@@ -572,12 +572,20 @@ def make_handler(engine: Engine):
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
                     self.end_headers()
-                    self.wfile.write(first)
-                    self.wfile.flush()
-                    for part in gen:
-                        self.wfile.write(part)
+                    try:
+                        self.wfile.write(first)
                         self.wfile.flush()
-                    self.close_connection = True
+                        for part in gen:
+                            self.wfile.write(part)
+                            self.wfile.flush()
+                    except Exception:
+                        # headers already sent: a 500 body here would be
+                        # decoded as garbage AUDIO by the client — just log
+                        # and close the connection (truncation = error)
+                        log.exception("stream aborted")
+                    finally:
+                        gen.close()
+                        self.close_connection = True
                     return
                 if self.path == "/tts":
                     out = engine.tts(req)

@@ -78,3 +78,40 @@ def test_spec_engine_requires_mtp_heads(setup):
     bare = {k: v for k, v in params.items() if k != "mtp_heads"}
     with pytest.raises(ValueError, match="mtp_heads"):
         ContinuousBatcher(bare, cfg, lanes=2, spec=4)
+
+
+def test_spec_engine_gen_max_cap_matches_plain(setup):
+    """Lanes that hit the gen_max cap (no eog) must retire with the SAME
+    rows in both modes — regression for the off-by-one that leaked one
+    unverified draft row into capped spec results."""
+    cfg, params, reqs = setup
+    g = SamplingConfig(temperature=0.0, silence_tokens=())
+    # long text => forced-eog point far beyond gen_max => cap triggers
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, cfg.text_vocab_size, 24).astype(np.int32)
+    y = rng.integers(0, cfg.audio_vocab_size,
+                     (cfg.n_codebooks, 16)).astype(np.int32)
+    outs = {}
+    for spec in (0, 4):
+        eng = ContinuousBatcher(params, cfg, lanes=1, x_pad=32, y_pad=64,
+                                gen_max=32, burst=8, scfg=g, seed=3,
+                                spec=spec)
+        rid = eng.submit(x, y)
+        outs[spec] = eng.run()[rid]
+    np.testing.assert_array_equal(outs[0][1], outs[4][1])
+    np.testing.assert_array_equal(outs[0][0], outs[4][0])
+
+
+def test_spec_rejects_too_few_mtp_heads(setup):
+    """tau-1 beyond the checkpoint's n_mtp must raise, not silently
+    broadcast one head's drafts across the missing offsets."""
+    cfg, params, reqs = setup          # n_mtp == 3
+    with pytest.raises(ValueError, match="n_mtp"):
+        ContinuousBatcher(params, cfg, lanes=2, spec=5)
+    from voicecraft_tpu.inference.serving import serve_tts_batch
+    with pytest.raises(ValueError, match="n_mtp"):
+        serve_tts_batch(params, cfg, reqs[:2], SamplingConfig(), spec=5)
+    from voicecraft_tpu.inference.tts import inference_tts_spec
+    with pytest.raises(ValueError, match="n_mtp"):
+        inference_tts_spec(params, cfg, reqs[0][0], reqs[0][1],
+                           SamplingConfig(), n_draft=5)

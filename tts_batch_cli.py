@@ -141,12 +141,14 @@ def main():
     for lo in range(0, len(reqs), args.lanes):
         wave_reqs = reqs[lo:lo + args.lanes]
         wave_meta = metas[lo:lo + args.lanes]
-        outs = (serve_tts_batch(
-                    params, cfg, wave_reqs, scfg, seed=args.seed,
-                    kv_dtype="float8_e4m3fn" if args.kv_fp8 else None,
-                    spec=args.spec)
-                if len(wave_reqs) > 1 else None)
-        if outs is None:
+        if len(wave_reqs) > 1 or args.spec > 1 or args.kv_fp8:
+            # serving path handles B=1 too; a plain-inference fallback for
+            # a lone trailing request would silently drop --spec/--kv-fp8
+            outs = serve_tts_batch(
+                params, cfg, wave_reqs, scfg, seed=args.seed,
+                kv_dtype="float8_e4m3fn" if args.kv_fp8 else None,
+                spec=args.spec)
+        else:
             from voicecraft_tpu.inference.tts import inference_tts
             x, y = wave_reqs[0]
             outs = [inference_tts(params, cfg, x, y, scfg, seed=args.seed)]

@@ -292,6 +292,7 @@ def make_spec_burst_fn(cfg: ModelConfig, *, batch_size: int, n_draft: int,
     Returns fn(params, cache, lanes, gen_buf [B, gen_max + tau, K],
                max_bursts) -> (cache, lanes, gen_buf, status [B,4]).
     """
+    from .spec_common import make_lane_sampler, spec_verify_pass
     K, D = cfg.n_codebooks, cfg.d_model
     B = batch_size
     tau = n_draft
@@ -301,113 +302,57 @@ def make_spec_burst_fn(cfg: ModelConfig, *, batch_size: int, n_draft: int,
     passes = max(1, burst // tau)
     pe_np = sine_table(MAX_POS, D)
 
-    sample_lanes = jax.vmap(
-        lambda rng, lg, eog, cng, cs, pt, yp, xl: _adjust_and_sample(
-            cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl))
+    sample_lanes = make_lane_sampler(cfg, scfg, cap_mult)
 
     def burst_fn(params, cache, lanes: LaneState, gen_buf, max_bursts):
         pe = jnp.asarray(pe_np).astype(dtype)
         alpha_a = params["alpha_audio"].astype(dtype)
-        empty_row = jnp.full((B, K), cfg.empty_token, jnp.int32)
         lane_ids = jnp.arange(B)
 
         def one_pass(cache, s: LaneState, gen_buf):
+            # cap at gen_max - 1 rows, matching the plain burst fn's
+            # t = min(t + 1, gen_max - 1) freeze — capped lanes must
+            # retire with identical row counts in both modes
             live = (s.active & jnp.logical_not(jnp.all(s.codebook_eog, 1))
-                    & (s.t < gen_max))
+                    & (s.t < gen_max - 1))
             req_keys = jax.vmap(
                 lambda aid: jax.random.fold_in(s.rng, aid))(s.admit_id)
 
             def tok_key(i):
                 return jax.vmap(jax.random.fold_in)(req_keys, s.t + i)
 
-            y_pos0 = jnp.minimum(s.prefix_lens + s.t, MAX_POS - tau - 1)
+            cell = {}
 
-            logits_f = s.logits.astype(jnp.float32)
-            t0, eog0, consec0, prev0 = sample_lanes(
-                tok_key(0), logits_f, s.codebook_eog, s.t,
-                s.consec, s.prev, y_pos0, s.x_lens)
-            t0 = jnp.where(live[:, None], t0, empty_row)
-            eog0 = jnp.where(live[:, None], eog0, s.codebook_eog)
+            def forward(feed):
+                h_blk, cell["cache"] = trm.decode_step_multi_block(
+                    params["decoder"], feed, cache, y_start + s.t,
+                    cfg.nhead, s.x_lens, x_pad, s.prefix_lens, y_start,
+                    gen_lens=s.t)
+                return h_blk
 
-            if tau > 1:
-                mtp = jax.tree.map(lambda x: x[:tau - 1], params["mtp_heads"])
-                h_b = s.h.astype(dtype)
-                d_logits = jax.vmap(
-                    lambda hd: apply_heads(hd, h_b))(mtp)   # [tau-1,B,K,card]
-                drafts = jnp.argmax(d_logits, axis=-1).astype(jnp.int32)
-                cng_d = (s.t[None, :, None] + 1
-                         + jnp.arange(tau - 1)[:, None, None])
-                drafts = jnp.where(jnp.arange(K)[None, None, :] > cng_d,
-                                   cfg.empty_token, drafts)
-                tokens = jnp.concatenate([t0[None], drafts], axis=0)
-            else:
-                tokens = t0[None]
-            tokens_b = tokens.transpose(1, 0, 2)            # [B, tau, K]
+            out = spec_verify_pass(
+                params, cfg, sample_lanes, tau=tau, gate=live,
+                tok_key=tok_key,
+                y_pos0=jnp.minimum(s.prefix_lens + s.t, MAX_POS - tau - 1),
+                x_lens=s.x_lens, logits=s.logits, h=s.h,
+                eog=s.codebook_eog, cng=s.t, consec=s.consec, prev=s.prev,
+                t=s.t, accept_cap=gen_max - 1, pe=pe, alpha_a=alpha_a,
+                dtype=dtype, forward=forward, force_accept=force_accept)
 
-            emb = embed_audio_tokens(
-                params["audio_emb"],
-                tokens_b.transpose(0, 2, 1)).astype(dtype)  # [B, tau, D]
-            pos_grid = y_pos0[:, None] + jnp.arange(tau)[None, :]
-            feed = emb + alpha_a * jnp.take(pe, pos_grid, axis=0)
-            h_blk, cache = trm.decode_step_multi_block(
-                params["decoder"], feed, cache, y_start + s.t, cfg.nhead,
-                s.x_lens, x_pad, s.prefix_lens, y_start, gen_lens=s.t)
-            logits_blk = apply_heads(params["heads"], h_blk)  # [B,tau,K,card]
-
-            emitted = [t0]
-            alive = live & jnp.logical_not(jnp.all(eog0, axis=1))
-            st = (eog0,
-                  s.t + live.astype(jnp.int32),
-                  jnp.where(live, consec0, s.consec),
-                  jnp.where(live, prev0, s.prev))
-            n_acc = live.astype(jnp.int32)
-            for i in range(1, tau):
-                eog_c, cng_c, consec_c, prev_c = st
-                ti, eog_i, consec_i, prev_i = sample_lanes(
-                    tok_key(i), logits_blk[:, i - 1], eog_c, cng_c,
-                    consec_c, prev_c, y_pos0 + i, s.x_lens)
-                if force_accept:   # bench ceiling: simulated 100% acceptance
-                    match = jnp.ones((B,), bool)
-                    ti = tokens_b[:, i]
-                else:
-                    match = jnp.all(ti == tokens_b[:, i], axis=1)
-                accept = alive & match & (s.t + i < gen_max)
-                emitted.append(jnp.where(accept[:, None], ti, 0))
-                n_acc = n_acc + accept.astype(jnp.int32)
-                st = (jnp.where(accept[:, None], eog_i, eog_c),
-                      jnp.where(accept, cng_c + 1, cng_c),
-                      jnp.where(accept, consec_i, consec_c),
-                      jnp.where(accept, prev_i, prev_c))
-                alive = alive & accept & jnp.logical_not(
-                    jnp.all(eog_i, axis=1))
-
-            eog_f, _, consec_f, prev_f = st
-            blk = jnp.stack(emitted, axis=1)                # [B, tau, K]
             r_idx = s.t[:, None] + jnp.arange(tau)[None, :]
             gen_buf = gen_buf.at[lane_ids[:, None], r_idx].set(
-                jnp.where(live[:, None, None], blk,
+                jnp.where(live[:, None, None], out["blk"],
                           gen_buf[lane_ids[:, None], r_idx]))
 
-            last = jnp.maximum(n_acc - 1, 0)
-            logits_next = jnp.take_along_axis(
-                logits_blk, last[:, None, None, None], axis=1)[:, 0]
-            h_next = jnp.take_along_axis(h_blk, last[:, None, None],
-                                         axis=1)[:, 0]
-            logits_next = jnp.where(live[:, None, None],
-                                    logits_next.astype(s.logits.dtype),
-                                    s.logits)
-            h_next = jnp.where(live[:, None], h_next.astype(jnp.float32),
-                               s.h)
-
-            t_new = s.t + n_acc
-            done_now = live & jnp.all(eog_f, axis=1)
+            t_new = s.t + out["n_acc"]
+            done_now = live & jnp.all(out["eog"], axis=1)
             finish_t = jnp.where(done_now, t_new - 1, s.finish_t)
 
             new_s = LaneState(s.active, t_new, s.x_lens, s.prefix_lens,
-                              eog_f, consec_f, prev_f, finish_t,
-                              logits_next, h_next, s.admit_id, s.rng,
-                              s.gstep + 1)
-            return cache, new_s, gen_buf
+                              out["eog"], out["consec"], out["prev"],
+                              finish_t, out["logits_next"], out["h_next"],
+                              s.admit_id, s.rng, s.gstep + 1)
+            return cell["cache"], new_s, gen_buf
 
         def one_burst(cache, lanes, gen_buf):
             def step(carry, _):
@@ -659,9 +604,9 @@ class ContinuousBatcher:
     def __post_init__(self):
         cfg = self.cfg
         K = cfg.n_codebooks
-        if self.spec > 1 and "mtp_heads" not in self.params:
-            raise ValueError("spec engine needs params['mtp_heads'] "
-                             "(train with n_mtp > 0)")
+        if self.spec > 1:
+            from ..models.voicecraft import check_mtp_heads
+            check_mtp_heads(self.params, self.spec)
         if self.spec > 1:
             # compact per-lane offsets: slab slack is one block, not a ring
             self._s_max = self.x_pad + self.y_pad + self.gen_max + self.spec
@@ -781,7 +726,11 @@ class ContinuousBatcher:
             done = eog_all[b] or t[b] >= self.gen_max - 1
             if not done:
                 continue
-            n = int(finish_t[b]) + 1 if finish_t[b] >= 0 else int(t[b]) + 1
+            # In BOTH modes t counts written rows (valid rows are [0, t));
+            # t+1 on a gen_max-capped lane read one unwritten/unverified
+            # row past the end (zeros in plain mode, a rejected draft in
+            # spec mode) — the eog path is unaffected (finish_t >= 0).
+            n = int(finish_t[b]) + 1 if finish_t[b] >= 0 else int(t[b])
             # fetch only the finished lane's rows (rare; bounded transfer)
             rows = np.asarray(self._gen_buf[b])[:n]
             if rows.shape[0] <= K:

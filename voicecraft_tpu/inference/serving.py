@@ -200,6 +200,7 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
                       y_prefix [B,K,y_pad], prefix_lens [B], rng)
       -> (gen_buf [gen_max+tau, B, K], t [B], n_passes).
     """
+    from .spec_common import make_lane_sampler, spec_verify_pass
     assert n_draft >= 1
     K, D = cfg.n_codebooks, cfg.d_model
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
@@ -212,9 +213,7 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
     s_max = y_start + gen_max + tau
     pe_np = sine_table(MAX_POS, D)
 
-    sample_lanes = jax.vmap(
-        lambda rng, lg, eog, cng, cs, pt, yp, xl: _adjust_and_sample(
-            cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl))
+    sample_lanes = make_lane_sampler(cfg, scfg, cap_mult)
 
     def decode(params, x_tokens, x_lens, y_prefix, prefix_lens, rng):
         pe = jnp.asarray(pe_np).astype(dtype)
@@ -248,7 +247,8 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
         logits0 = apply_heads(params["heads"], h_last)[:, 0]   # [B, K, card]
 
         state = SpecServingState(
-            cache=cache, logits=logits0, h=h_last[:, 0], rng=rng,
+            cache=cache, logits=logits0,
+            h=h_last[:, 0].astype(jnp.float32), rng=rng,
             t=jnp.zeros((B,), jnp.int32),
             gen_buf=jnp.zeros((gen_max + tau, B, K), jnp.int32),
             codebook_eog=jnp.zeros((B, K), bool),
@@ -258,7 +258,6 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
             n_passes=jnp.asarray(0, jnp.int32),
             done=jnp.zeros((B,), bool))
 
-        empty_row = jnp.full((B, K), cfg.empty_token, jnp.int32)
         lane_ids = jnp.arange(B)
 
         def cond(s: SpecServingState):
@@ -273,105 +272,39 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
                 # per-(lane, token-index): invariant to acceptance patterns
                 return jax.vmap(jax.random.fold_in)(lane_keys, s.t + i)
 
-            y_pos0 = prefix_lens + s.t                         # [B]
+            cell = {}
 
-            # -- token 0 per lane: exactly what the plain loop would emit --
-            t0, eog0, consec0, prev0 = sample_lanes(
-                tok_key(0), s.logits, s.codebook_eog, s.cur_num_gen,
-                s.consec_silence, s.prev_token, y_pos0, x_lens)
-            if bench_mode:
-                eog0 = jnp.zeros_like(eog0)
-                t0 = jnp.where(t0 >= cfg.audio_vocab_size, 0, t0)
-            t0 = jnp.where(active[:, None], t0, empty_row)
-            eog0 = jnp.where(active[:, None], eog0, s.codebook_eog)
+            def forward(feed):
+                h_blk, cell["cache"] = trm.decode_step_multi_block(
+                    params["decoder"], feed, s.cache, y_start + s.t,
+                    cfg.nhead, x_lens, x_pad, prefix_lens, y_start,
+                    gen_lens=s.t)
+                return h_blk
 
-            # -- drafts from the MTP heads at the last accepted hidden --
-            if tau > 1:
-                mtp = jax.tree.map(lambda x: x[:tau - 1], params["mtp_heads"])
-                d_logits = jax.vmap(
-                    lambda hd: apply_heads(hd, s.h))(mtp)      # [tau-1,B,K,card]
-                drafts = jnp.argmax(d_logits, axis=-1).astype(jnp.int32)
-                # mirror the deterministic forced-empty rule on draft rows
-                # (voicecraft.py:1037-1039), as in make_spec_decode_loop
-                cng_d = (s.cur_num_gen[None, :, None] + 1
-                         + jnp.arange(tau - 1)[:, None, None])
-                drafts = jnp.where(jnp.arange(K)[None, None, :] > cng_d,
-                                   cfg.empty_token, drafts)
-                tokens = jnp.concatenate([t0[None], drafts], axis=0)
-            else:
-                tokens = t0[None]                              # [tau, B, K]
-            tokens_b = tokens.transpose(1, 0, 2)               # [B, tau, K]
-
-            # -- one block forward for all lanes --
-            emb = embed_audio_tokens(
-                params["audio_emb"],
-                tokens_b.transpose(0, 2, 1)).astype(dtype)     # [B, tau, D]
-            pos_grid = y_pos0[:, None] + jnp.arange(tau)[None, :]
-            feed = emb + alpha_a * jnp.take(pe, pos_grid, axis=0)
-            h_blk, cache = trm.decode_step_multi_block(
-                params["decoder"], feed, s.cache, y_start + s.t, cfg.nhead,
-                x_lens, x_pad, prefix_lens, y_start, gen_lens=s.t)
-            logits_blk = apply_heads(params["heads"], h_blk)   # [B,tau,K,card]
-
-            # -- verify drafts per lane against the plain-loop emission --
-            emitted = [t0]
-            alive = active & jnp.logical_not(jnp.all(eog0, axis=1))
-            st = (eog0,
-                  s.cur_num_gen + active.astype(jnp.int32),
-                  jnp.where(active, consec0, s.consec_silence),
-                  jnp.where(active, prev0, s.prev_token))
-            n_acc = active.astype(jnp.int32)                   # [B]
-            for i in range(1, tau):
-                eog_c, cng_c, consec_c, prev_c = st
-                ti, eog_i, consec_i, prev_i = sample_lanes(
-                    tok_key(i), logits_blk[:, i - 1], eog_c, cng_c,
-                    consec_c, prev_c, y_pos0 + i, x_lens)
-                if bench_mode:
-                    eog_i = jnp.zeros_like(eog_i)
-                    ti = jnp.where(ti >= cfg.audio_vocab_size, 0, ti)
-                if force_accept:
-                    match = jnp.ones((B,), bool)
-                    ti = tokens_b[:, i]
-                else:
-                    match = jnp.all(ti == tokens_b[:, i], axis=1)
-                accept = alive & match & (s.t + i < gen_max)
-                emitted.append(jnp.where(accept[:, None], ti, 0))
-                n_acc = n_acc + accept.astype(jnp.int32)
-                acc_k = accept[:, None]
-                st = (jnp.where(acc_k, eog_i, eog_c),
-                      jnp.where(accept, cng_c + 1, cng_c),
-                      jnp.where(accept, consec_i, consec_c),
-                      jnp.where(accept, prev_i, prev_c))
-                alive = alive & accept & jnp.logical_not(
-                    jnp.all(eog_i, axis=1))
-
-            eog_f, cng_f, consec_f, prev_f = st
+            out = spec_verify_pass(
+                params, cfg, sample_lanes, tau=tau, gate=active,
+                tok_key=tok_key, y_pos0=prefix_lens + s.t, x_lens=x_lens,
+                logits=s.logits, h=s.h, eog=s.codebook_eog,
+                cng=s.cur_num_gen, consec=s.consec_silence,
+                prev=s.prev_token, t=s.t, accept_cap=gen_max, pe=pe,
+                alpha_a=alpha_a, dtype=dtype, forward=forward,
+                bench_mode=bench_mode, force_accept=force_accept)
 
             # -- record accepted prefixes; garbage rows beyond n_acc are
             #    overwritten by later passes or never read (rows < t only) --
-            blk = jnp.stack(emitted, axis=1)                   # [B, tau, K]
             r_idx = s.t[:, None] + jnp.arange(tau)[None, :]    # [B, tau]
-            gen_buf = s.gen_buf.at[r_idx, lane_ids[:, None]].set(blk)
+            gen_buf = s.gen_buf.at[r_idx, lane_ids[:, None]].set(out["blk"])
 
-            # -- last accepted position's outputs seed the next pass --
-            last = jnp.maximum(n_acc - 1, 0)
-            logits_next = jnp.take_along_axis(
-                logits_blk, last[:, None, None, None], axis=1)[:, 0]
-            h_next = jnp.take_along_axis(h_blk, last[:, None, None],
-                                         axis=1)[:, 0]
-            logits_next = jnp.where(active[:, None, None], logits_next,
-                                    s.logits)
-            h_next = jnp.where(active[:, None], h_next, s.h)
-
-            t_new = s.t + n_acc
-            done = s.done | (active & jnp.all(eog_f, axis=1)) \
+            t_new = s.t + out["n_acc"]
+            done = s.done | (active & jnp.all(out["eog"], axis=1)) \
                 | (t_new >= gen_max)
 
             return SpecServingState(
-                cache=cache, logits=logits_next, h=h_next, rng=s.rng,
-                t=t_new, gen_buf=gen_buf, codebook_eog=eog_f,
-                cur_num_gen=cng_f, consec_silence=consec_f,
-                prev_token=prev_f, n_passes=s.n_passes + 1, done=done)
+                cache=cell["cache"], logits=out["logits_next"],
+                h=out["h_next"], rng=s.rng, t=t_new, gen_buf=gen_buf,
+                codebook_eog=out["eog"], cur_num_gen=out["cng"],
+                consec_silence=out["consec"], prev_token=out["prev"],
+                n_passes=s.n_passes + 1, done=done)
 
         final = jax.lax.while_loop(cond, body, state)
         return final.gen_buf, final.t, final.n_passes
@@ -459,9 +392,8 @@ def serve_tts_batch(params, cfg: ModelConfig,
             for a in arrs)
 
     if spec > 1:
-        if "mtp_heads" not in params:
-            raise ValueError("spec serving needs params['mtp_heads'] "
-                             "(train with n_mtp > 0)")
+        from ..models.voicecraft import check_mtp_heads
+        check_mtp_heads(params, spec)
         loop = _get_spec_serving_loop(cfg, B, spec, x_pad, y_pad, gen_max,
                                       scfg, kv_dtype)
         gen_buf, t_acc, _ = loop(params, *lane_args(),

@@ -1,0 +1,141 @@
+"""Shared core of one verified speculative pass over B lanes.
+
+Both multi-lane speculative decoders — lockstep spec serving
+(serving.make_spec_serving_loop) and the spec continuous-batching engine
+(engine.make_spec_burst_fn) — run the same per-pass algorithm: sample the
+true next token per lane exactly as the plain loop would, draft tau-1 more
+from the MTP heads, run ONE block forward, then accept per lane the prefix
+the plain loop would have emitted.  They differ only in lane gating
+(done-mask vs active/retire), RNG keying, caps, and cache/record plumbing
+— so THIS function owns the verify semantics and the callers own the
+plumbing.  Divergence here is what bit-exactness contracts die of; fix
+verify behaviour in one place.
+
+Single-stream spec decode (models.voicecraft.make_spec_decode_loop) keeps
+its scalar-state implementation: it predates this helper and its per-pass
+state is shapes [K]/scalars, not [B]-vectors; its parity tests pin the
+semantics both must follow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..models.voicecraft import (SamplingConfig, _adjust_and_sample,
+                                 apply_heads, embed_audio_tokens)
+
+
+def make_lane_sampler(cfg: ModelConfig, scfg: SamplingConfig, cap_mult: int):
+    """vmapped _adjust_and_sample over lanes (all args per-lane)."""
+    return jax.vmap(
+        lambda rng, lg, eog, cng, cs, pt, yp, xl: _adjust_and_sample(
+            cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl))
+
+
+def spec_verify_pass(params, cfg: ModelConfig, sample_lanes, *,
+                     tau: int, gate, tok_key, y_pos0, x_lens,
+                     logits, h, eog, cng, consec, prev, t,
+                     accept_cap, pe, alpha_a, dtype, forward,
+                     bench_mode: bool = False,
+                     force_accept: bool = False):
+    """One verified tau-token pass for B lanes.
+
+    gate [B]: lanes that participate (others are frozen: they emit empty
+    tokens, keep their state, and their slab writes land beyond their
+    validity).  tok_key(i) -> [B, 2] per-lane PRNG keys for token index
+    t + i (the caller owns the keying scheme).  accept_cap: accepted token
+    index bound — accept token i only while t + i < accept_cap.
+    forward(feed [B, tau, D]) -> h_blk [B, tau, D] runs the block through
+    the decoder (the caller owns cache layout and write plumbing).
+
+    Returns dict with: blk [B, tau, K] emitted rows (rows >= n_acc are
+    garbage and must be overwritten or never read), n_acc [B], eog / cng /
+    consec / prev (final verify-carry state), logits_next [B, K, card]
+    (f32), h_next [B, D] (f32) — next-state fields are gate-frozen already.
+    """
+    K = cfg.n_codebooks
+    B = logits.shape[0]
+    empty_row = jnp.full((B, K), cfg.empty_token, jnp.int32)
+
+    # -- token 0: the true next token, exactly as the plain loop emits --
+    t0, eog0, consec0, prev0 = sample_lanes(
+        tok_key(0), logits.astype(jnp.float32), eog, cng, consec, prev,
+        y_pos0, x_lens)
+    if bench_mode:
+        eog0 = jnp.zeros_like(eog0)
+        t0 = jnp.where(t0 >= cfg.audio_vocab_size, 0, t0)
+    t0 = jnp.where(gate[:, None], t0, empty_row)
+    eog0 = jnp.where(gate[:, None], eog0, eog)
+
+    # -- drafts from the MTP heads at the last accepted hidden --
+    if tau > 1:
+        mtp = jax.tree.map(lambda x: x[:tau - 1], params["mtp_heads"])
+        h_c = h.astype(dtype)
+        d_logits = jax.vmap(lambda hd: apply_heads(hd, h_c))(mtp)
+        drafts = jnp.argmax(d_logits, axis=-1).astype(jnp.int32)
+        # mirror the deterministic forced-empty rule on draft rows
+        # (reference voicecraft.py:1037-1039): rows > cur_num_gen are
+        # forced empty by the verifier, so draft them as empty too
+        cng_d = cng[None, :, None] + 1 + jnp.arange(tau - 1)[:, None, None]
+        drafts = jnp.where(jnp.arange(K)[None, None, :] > cng_d,
+                           cfg.empty_token, drafts)
+        tokens = jnp.concatenate([t0[None], drafts], axis=0)
+    else:
+        tokens = t0[None]
+    tokens_b = tokens.transpose(1, 0, 2)                  # [B, tau, K]
+
+    # -- one block forward for all lanes --
+    emb = embed_audio_tokens(
+        params["audio_emb"], tokens_b.transpose(0, 2, 1)).astype(dtype)
+    pos_grid = y_pos0[:, None] + jnp.arange(tau)[None, :]
+    feed = emb + alpha_a * jnp.take(pe, pos_grid, axis=0)
+    h_blk = forward(feed)                                 # [B, tau, D]
+    logits_blk = apply_heads(params["heads"], h_blk)      # [B, tau, K, card]
+
+    # -- verify drafts per lane against the plain-loop emission --
+    emitted = [t0]
+    alive = gate & jnp.logical_not(jnp.all(eog0, axis=1))
+    st = (eog0,
+          cng + gate.astype(jnp.int32),
+          jnp.where(gate, consec0, consec),
+          jnp.where(gate, prev0, prev))
+    n_acc = gate.astype(jnp.int32)
+    for i in range(1, tau):
+        eog_c, cng_c, consec_c, prev_c = st
+        ti, eog_i, consec_i, prev_i = sample_lanes(
+            tok_key(i), logits_blk[:, i - 1], eog_c, cng_c,
+            consec_c, prev_c, y_pos0 + i, x_lens)
+        if bench_mode:
+            eog_i = jnp.zeros_like(eog_i)
+            ti = jnp.where(ti >= cfg.audio_vocab_size, 0, ti)
+        if force_accept:   # bench ceiling: simulated 100% acceptance
+            match = jnp.ones((B,), bool)
+            ti = tokens_b[:, i]
+        else:
+            match = jnp.all(ti == tokens_b[:, i], axis=1)
+        accept = alive & match & (t + i < accept_cap)
+        emitted.append(jnp.where(accept[:, None], ti, 0))
+        n_acc = n_acc + accept.astype(jnp.int32)
+        st = (jnp.where(accept[:, None], eog_i, eog_c),
+              jnp.where(accept, cng_c + 1, cng_c),
+              jnp.where(accept, consec_i, consec_c),
+              jnp.where(accept, prev_i, prev_c))
+        alive = alive & accept & jnp.logical_not(jnp.all(eog_i, axis=1))
+
+    eog_f, cng_f, consec_f, prev_f = st
+
+    # -- the last accepted position's outputs seed the next pass --
+    last = jnp.maximum(n_acc - 1, 0)
+    logits_next = jnp.take_along_axis(
+        logits_blk, last[:, None, None, None], axis=1)[:, 0]
+    h_next = jnp.take_along_axis(h_blk, last[:, None, None], axis=1)[:, 0]
+    logits_next = jnp.where(gate[:, None, None],
+                            logits_next.astype(logits.dtype), logits)
+    h_next = jnp.where(gate[:, None], h_next.astype(jnp.float32),
+                       h.astype(jnp.float32))
+
+    return {"blk": jnp.stack(emitted, axis=1), "n_acc": n_acc,
+            "eog": eog_f, "cng": cng_f, "consec": consec_f, "prev": prev_f,
+            "logits_next": logits_next, "h_next": h_next}

@@ -35,6 +35,10 @@ from ..ops import patterns
 from .engine import ContinuousBatcher
 
 
+class _StreamCancelled(Exception):
+    """Raised inside the engine's row callback to abort an abandoned run."""
+
+
 def _ceil(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
@@ -118,8 +122,15 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
 
     q: "queue.Queue" = queue.Queue()
     sent = {"n": 0}
+    cancel = threading.Event()
 
     def on_rows(rows):
+        if cancel.is_set():
+            # consumer abandoned the generator (e.g. HTTP client
+            # disconnect): abort the engine run at the next burst boundary
+            # instead of decoding the rest of the utterance into a queue
+            # nobody reads
+            raise _StreamCancelled()
         frames = frames_from_rows(rows, cfg)
         if frames.shape[1] > sent["n"]:
             new = frames[:, sent["n"]:]
@@ -132,6 +143,8 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
         try:
             res = eng.run()
             q.put(("done", res[rid]))
+        except _StreamCancelled:
+            pass
         except Exception as e:  # surfaced to the consumer
             q.put(("error", e))
 
@@ -139,20 +152,23 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
 
     streamer = (AudioStreamer(cparams, ccfg)
                 if cparams is not None and ccfg is not None else None)
-    while True:
-        kind, payload = q.get()
-        if kind == "error":
-            raise payload
-        if kind == "frames":
-            chunk = {"frames": payload}
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "error":
+                raise payload
+            if kind == "frames":
+                chunk = {"frames": payload}
+                if streamer is not None:
+                    chunk["audio"] = streamer.feed(payload)
+                yield chunk
+                continue
+            full, gen = payload
+            rest = gen[:, sent["n"]:]
+            chunk = {"frames": rest, "full": full, "gen": gen}
             if streamer is not None:
-                chunk["audio"] = streamer.feed(payload)
+                chunk["audio"] = streamer.feed(rest)
             yield chunk
-            continue
-        full, gen = payload
-        rest = gen[:, sent["n"]:]
-        chunk = {"frames": rest, "full": full, "gen": gen}
-        if streamer is not None:
-            chunk["audio"] = streamer.feed(rest)
-        yield chunk
-        return
+            return
+    finally:
+        cancel.set()

@@ -189,10 +189,9 @@ def inference_tts_spec(params, cfg: ModelConfig, x_tokens: np.ndarray,
     checkpoint's ``n_mtp``.  Returns (full, gen) like inference_tts, plus a
     stats dict (passes, tokens/pass) when ``return_stats``.
     """
+    from ..models.voicecraft import check_mtp_heads
     K = cfg.n_codebooks
-    if n_draft > 1 and "mtp_heads" not in params:
-        raise ValueError("speculative decoding needs params['mtp_heads'] "
-                         "(train with n_mtp > 0)")
+    check_mtp_heads(params, n_draft)
     if cfg.special_first:
         y_codes = y_codes + cfg.n_special
     prefix = spans.compose_tts_prefix(y_codes, cfg)

@@ -92,6 +92,25 @@ def init_params(cfg: ModelConfig, key) -> dict:
     return params
 
 
+def check_mtp_heads(params, n_draft: int) -> None:
+    """Validate that a checkpoint can drive n_draft-token speculative decode.
+
+    Without this, ``mtp_heads[:n_draft-1]`` on a checkpoint with fewer head
+    groups silently BROADCASTS one head's drafts across the missing offsets
+    (numpy-style), collapsing acceptance to ~plain speed with no error.
+    """
+    if n_draft <= 1:
+        return
+    if "mtp_heads" not in params:
+        raise ValueError("speculative decoding needs params['mtp_heads'] "
+                         "(train with n_mtp > 0)")
+    n = jax.tree.leaves(params["mtp_heads"])[0].shape[0]
+    if n_draft - 1 > n:
+        raise ValueError(
+            f"n_draft={n_draft} needs {n_draft - 1} MTP head groups, but "
+            f"the checkpoint has n_mtp={n}")
+
+
 def init_mtp_heads(cfg: ModelConfig, key) -> dict:
     """Multi-token-prediction heads: same 2-layer-GELU structure as the main
     prediction heads, stacked [n_mtp, K, ...]; group j predicts the token at
