@@ -339,10 +339,11 @@ def make_spec_burst_fn(cfg: ModelConfig, *, batch_size: int, n_draft: int,
                 t=s.t, accept_cap=gen_max - 1, pe=pe, alpha_a=alpha_a,
                 dtype=dtype, forward=forward, force_accept=force_accept)
 
+            # unconditional scatter: frozen lanes write their (empty-token)
+            # block at rows >= t, which retirement/streaming never read —
+            # same argument as the slab writes
             r_idx = s.t[:, None] + jnp.arange(tau)[None, :]
-            gen_buf = gen_buf.at[lane_ids[:, None], r_idx].set(
-                jnp.where(live[:, None, None], out["blk"],
-                          gen_buf[lane_ids[:, None], r_idx]))
+            gen_buf = gen_buf.at[lane_ids[:, None], r_idx].set(out["blk"])
 
             t_new = s.t + out["n_acc"]
             done_now = live & jnp.all(out["eog"], axis=1)
