@@ -141,7 +141,8 @@ class Engine:
         for s in slots:
             self.queue.put(s)
         for s in slots:
-            s["done"].wait(timeout=600)
+            if not s["done"].wait(timeout=600):
+                raise TimeoutError("decode timed out after 600 s")
             if isinstance(s["result"], Exception):
                 raise s["result"]
 
@@ -196,8 +197,13 @@ class Engine:
         seed = int(req.get("seed", self.args.seed))
         scfg = self._scfg(req)
         sbs = int(req.get("sample_batch_size", 1))
+        # one shared seed so Long-TTS sentences group into ONE lockstep
+        # batch (the worker only batches identical (scfg, seed)); per-lane
+        # RNG already gives each sentence an independent draw.  Best-of-N
+        # slots still carry distinct seeds (decoded singly anyway).
         slots = [{"x": self._phonemize(t), "codes": codes, "scfg": scfg,
-                  "seed": seed + i, "sbs": sbs, "done": threading.Event(),
+                  "seed": seed + i if sbs > 1 else seed, "sbs": sbs,
+                  "done": threading.Event(),
                   "result": None} for i, t in enumerate(targets)]
         self._decode_sentences(slots)
 
@@ -322,36 +328,46 @@ class Engine:
                     break
             try:
                 with self.lock:
-                    if len(slots) == 1:
-                        s = slots[0]
-                        # best-of-N (reference sample_batch_size) for a lone
-                        # request; concurrent requests share lanes instead
-                        if s.get("sbs", 1) > 1:
-                            s["result"] = inference_tts_batch(
-                                self.params, self.cfg, s["x"], s["codes"],
-                                s["scfg"], batch_size=s["sbs"],
-                                seed=s["seed"])
-                        elif self.spec > 1:
-                            s["result"] = inference_tts_spec(
-                                self.params, self.cfg, s["x"], s["codes"],
-                                s["scfg"], n_draft=self.spec,
-                                seed=s["seed"])
-                        else:
-                            s["result"] = inference_tts(
-                                self.params, self.cfg, s["x"], s["codes"],
-                                s["scfg"], seed=s["seed"])
-                    else:
-                        outs = serve_tts_batch(
-                            self.params, self.cfg,
-                            [(s["x"], s["codes"]) for s in slots],
-                            slots[0]["scfg"], seed=slots[0]["seed"],
-                            kv_dtype=self.kv_dtype, spec=self.spec)
-                        for s, o in zip(slots, outs):
-                            s["result"] = o
+                    # batch only requests that share sampling params — the
+                    # lockstep loop is specialized on ONE (scfg, seed);
+                    # batching mixed params would silently decode every
+                    # lane with the first request's settings
+                    groups: dict = {}
+                    for s in slots:
+                        k = (s["scfg"], s["seed"], s.get("sbs", 1))
+                        groups.setdefault(k, []).append(s)
+                    for (scfg, seed, sbs), group in groups.items():
+                        if len(group) > 1 and sbs == 1:
+                            outs = serve_tts_batch(
+                                self.params, self.cfg,
+                                [(s["x"], s["codes"]) for s in group],
+                                scfg, seed=seed,
+                                kv_dtype=self.kv_dtype, spec=self.spec)
+                            for s, o in zip(group, outs):
+                                s["result"] = o
+                            continue
+                        for s in group:
+                            # best-of-N (reference sample_batch_size) or a
+                            # lone request
+                            if sbs > 1:
+                                s["result"] = inference_tts_batch(
+                                    self.params, self.cfg, s["x"],
+                                    s["codes"], scfg, batch_size=sbs,
+                                    seed=s["seed"])
+                            elif self.spec > 1:
+                                s["result"] = inference_tts_spec(
+                                    self.params, self.cfg, s["x"],
+                                    s["codes"], scfg, n_draft=self.spec,
+                                    seed=s["seed"])
+                            else:
+                                s["result"] = inference_tts(
+                                    self.params, self.cfg, s["x"],
+                                    s["codes"], scfg, seed=s["seed"])
             except Exception as e:  # surface errors to waiters
                 log.exception("batch failed")
                 for s in slots:
-                    s["result"] = e
+                    if s["result"] is None:
+                        s["result"] = e
             for s in slots:
                 s["done"].set()
 

@@ -34,12 +34,12 @@ def normalize_transcript(text: str) -> str:
 
 def split_sentences(text: str, split_text: str = "Sentence") -> List[str]:
     """Long TTS sentence split (gradio_app.py:230-236): by newline, or by
-    sentence boundary (the reference uses nltk.sent_tokenize; this regex
-    equivalent splits after ./!/? followed by whitespace)."""
+    sentence boundary (delegates to utils.transcribe.split_sentences — one
+    copy of the regex)."""
     if split_text == "Newline":
         return [s for s in (p.strip() for p in text.split("\n")) if s]
-    parts = re.split(r"(?<=[.!?])\s+", text.replace("\n", " ").strip())
-    return [s for s in (p.strip() for p in parts) if s]
+    from .utils.transcribe import split_sentences as _split
+    return _split(text.replace("\n", " "))
 
 
 def words_info_from_rows(rows: Sequence[Dict]) -> List[Dict]:

@@ -35,8 +35,16 @@ class WhisperTranscriber:
         return self.processor.batch_decode(ids, skip_special_tokens=True)[0]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=2)
 def make_transcriber(model_path: Optional[str]):
-    """Returns a transcriber or raises with guidance when unavailable."""
+    """Returns a transcriber or raises with guidance when unavailable.
+
+    Memoized on the snapshot path: batch drivers call this per row/seed
+    (tts_batch_cli --wer, realedit_cli --wer), and reloading the Whisper
+    checkpoint each time would dominate their runtime."""
     if model_path is None:
         raise RuntimeError(
             "no ASR model configured: pass a local Whisper snapshot dir "
