@@ -219,9 +219,10 @@ def test_spec_sampled_invariant_to_draft_count():
 
 # ---- spec decode: trained acceptance -------------------------------------------
 
-def test_spec_acceptance_after_memorising():
-    """Train base + MTP heads to memorise a continuation; spec decode must
-    then retire multiple tokens per pass and still match plain greedy."""
+@pytest.fixture(scope="module")
+def memorised():
+    """Tiny model + MTP heads trained to memorise one continuation —
+    shared by the single-stream and multi-lane acceptance tests."""
     from voicecraft_tpu.training.optim import scaled_adam
     from voicecraft_tpu.training.step import make_train_step
 
@@ -265,7 +266,13 @@ def test_spec_acceptance_after_memorising():
     assert loss < 0.1, f"did not memorise: {loss}"
     mtp_acc = np.asarray(m["mtp_top1acc"])
     assert mtp_acc.min() > 0.9, f"MTP heads did not learn: {mtp_acc}"
+    return cfg, params, x, y, T_prompt
 
+
+def test_spec_acceptance_after_memorising(memorised):
+    """Spec decode on the memorised model must retire multiple tokens per
+    pass and still match plain greedy."""
+    cfg, params, x, y, T_prompt = memorised
     scfg = SamplingConfig(temperature=0.0, silence_tokens=())
     full_p, gen_p = inference_tts(params, cfg, x, y[:, :T_prompt], scfg,
                                   seed=0)
@@ -317,3 +324,29 @@ def test_mtp_graft_onto_frozen_checkpoint(tmp_path):
         for a, b in zip(jax.tree.leaves(mtp0),
                         jax.tree.leaves(after["mtp_heads"])))
     assert changed, "MTP heads did not train"
+
+
+def test_spec_engine_acceptance_after_memorising(memorised):
+    """Multi-lane acceptance: two memorised requests through the spec
+    ENGINE must accept drafts (passes << tokens), produce the memorised
+    continuation on both lanes, and match the plain engine."""
+    from voicecraft_tpu.inference.engine import ContinuousBatcher
+
+    cfg, params, x, y, T_prompt = memorised
+    scfg = SamplingConfig(temperature=0.0, silence_tokens=())
+    prompt = y[:, :T_prompt]
+
+    eng = ContinuousBatcher(params, cfg, lanes=2, x_pad=32, y_pad=64,
+                            gen_max=128, burst=16, scfg=scfg, seed=3,
+                            spec=4)
+    ids = [eng.submit(x, prompt) for _ in range(2)]
+    res = eng.run()
+    passes = int(np.asarray(eng._lanes.gstep))
+    for rid in ids:
+        np.testing.assert_array_equal(res[rid][1], y[:, T_prompt:])
+    rows_per_lane = res[ids[0]][1].shape[1] + cfg.n_codebooks
+    tok_per_pass = rows_per_lane / passes
+    # content region accepts nearly everything; only the eog-cascade tail
+    # rejects.  The finite burst quantisation costs a little vs the
+    # single-stream 2.8 bound.
+    assert tok_per_pass >= 2.0, (rows_per_lane, passes)
