@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--stop-repetition", type=int, default=-1)
     ap.add_argument("--silence-tokens", type=int, nargs="*",
                     default=[1388, 1898, 131])
+    ap.add_argument("--spec", type=int, default=0, metavar="TAU",
+                    help="speculative decoding with TAU tokens per verified "
+                         "pass (checkpoint must carry MTP heads, "
+                         "train_cli --n-mtp); greedy output identical to "
+                         "plain decoding")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--language", default="en-us")
     ap.add_argument("--text-backend", default="auto")
@@ -115,7 +120,7 @@ def main():
                           stop_repetition=args.stop_repetition,
                           silence_tokens=tuple(args.silence_tokens))
     res = inference_edit(params, cfg, x, codes, [interval], scfg,
-                         seed=args.seed)
+                         seed=args.seed, spec=args.spec)
     out = ec.decode_bucketed(cparams, res[None], ccfg)[0]
     au.write_wav(args.out, out, ccfg.sample_rate)
     logging.info("wrote %s (%.2fs)", args.out, out.shape[-1] / ccfg.sample_rate)

@@ -21,8 +21,13 @@ def inference_edit(params, cfg: ModelConfig, x_tokens: np.ndarray,
                    y_codes: np.ndarray,
                    mask_intervals: Sequence[Tuple[int, int]],
                    scfg: SamplingConfig = SamplingConfig(),
-                   seed: int = 1, gen_max=None) -> np.ndarray:
+                   seed: int = 1, gen_max=None, spec: int = 0) -> np.ndarray:
     """Regenerate the masked codec-frame intervals of ``y_codes`` [K, T].
+
+    ``spec=TAU`` (>=2) uses verified speculative decoding
+    (make_spec_edit_loop): requires params['mtp_heads']; greedy output
+    token-identical to the plain loop (f32), sampled output keyed per
+    token index (invariant to TAU).
 
     Returns the spliced codes [K, T'] (reference voicecraft.py:893-906).
     """
@@ -33,7 +38,7 @@ def inference_edit(params, cfg: ModelConfig, x_tokens: np.ndarray,
     m = len(mask_intervals)
     gen = run_decode(params, cfg, is_tts=False, x_tokens=x_tokens,
                      prefix=prefix, queue_mask_ids=queue_ids, n_spans=m,
-                     scfg=scfg, seed=seed, gen_max=gen_max)
+                     scfg=scfg, seed=seed, gen_max=gen_max, spec=spec)
 
     y_len = y_codes.shape[1]
     starts = [s for s, _ in mask_intervals]

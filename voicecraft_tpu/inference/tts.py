@@ -61,11 +61,22 @@ def _get_loop(cfg: ModelConfig, is_tts: bool, x_pad: int, y_pad: int,
                             steps_per_iter=steps_per_iter)
 
 
+@lru_cache(maxsize=16)
+def _get_spec_edit_loop(cfg: ModelConfig, x_pad: int, y_pad: int,
+                        gen_max: int, scfg: SamplingConfig, max_spans: int,
+                        n_draft: int):
+    from ..models.voicecraft import make_spec_edit_loop
+    return make_spec_edit_loop(cfg, x_pad=x_pad, y_pad=y_pad,
+                               gen_max=gen_max, scfg=scfg, n_draft=n_draft,
+                               max_spans=max_spans)
+
+
 def run_decode(params, cfg: ModelConfig, *, is_tts: bool,
                x_tokens: np.ndarray, prefix: spans.ComposedSequence,
                queue_mask_ids, n_spans: int, scfg: SamplingConfig,
                seed: int = 1, gen_max: Optional[int] = None,
-               return_raw: bool = False, steps_per_iter: int = 1):
+               return_raw: bool = False, steps_per_iter: int = 1,
+               spec: int = 0):
     """Shared decode entry.  Returns a list of generated spans [K, T_j]
     (unshifted), or with ``return_raw`` the per-step delayed-space samples
     (gen_buf [n, K], span_buf [n])."""
@@ -92,8 +103,15 @@ def run_decode(params, cfg: ModelConfig, *, is_tts: bool,
     for j, v in enumerate(queue_mask_ids[:cfg.max_n_spans]):
         qm[j] = v
 
-    loop = _get_loop(cfg, is_tts, x_pad, y_pad, gen_max, scfg,
-                     cfg.max_n_spans, steps_per_iter)
+    if spec > 1:
+        from ..models.voicecraft import check_mtp_heads
+        assert not is_tts, "TTS speculative decode goes via inference_tts_spec"
+        check_mtp_heads(params, spec)
+        loop = _get_spec_edit_loop(cfg, x_pad, y_pad, gen_max, scfg,
+                                   cfg.max_n_spans, spec)
+    else:
+        loop = _get_loop(cfg, is_tts, x_pad, y_pad, gen_max, scfg,
+                         cfg.max_n_spans, steps_per_iter)
     gen_buf, span_buf, gen_cnt, n_done = loop(
         params, jnp.asarray(xt), jnp.asarray(x_len, jnp.int32),
         jnp.asarray(yt), jnp.asarray(prefix.length, jnp.int32),

@@ -880,6 +880,244 @@ def make_spec_decode_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
     return jax.jit(decode)
 
 
+class SpecEditState(NamedTuple):
+    cache: jnp.ndarray
+    logits: jnp.ndarray         # [1, K, card]
+    h: jnp.ndarray              # [1, D]
+    rng: jnp.ndarray
+    pos: jnp.ndarray
+    y_pos: jnp.ndarray
+    gen_buf: jnp.ndarray        # [gen_max + tau, K]
+    span_buf: jnp.ndarray       # [gen_max + tau]
+    gen_cnt: jnp.ndarray
+    codebook_eog: jnp.ndarray   # [K]
+    cur_num_gen: jnp.ndarray
+    consec_silence: jnp.ndarray
+    prev_token: jnp.ndarray
+    span_idx: jnp.ndarray
+    queue: jnp.ndarray          # [2, D]
+    queue_len: jnp.ndarray
+    n_passes: jnp.ndarray
+    done: jnp.ndarray
+
+
+def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
+                        gen_max: int, scfg: SamplingConfig, n_draft: int,
+                        max_spans: Optional[int] = None):
+    """Verified speculative MULTI-SPAN EDITING decode.
+
+    Same verification contract as make_spec_decode_loop (greedy output
+    token-identical to make_decode_loop's editing path in f32; sampled
+    output keyed per token index, invariant to n_draft), extended with the
+    span machinery: when the eog cascade completes mid-block, remaining
+    drafts are rejected (alive already gates them), and the NEXT pass is a
+    FEED pass — the two queued embeddings (next span's mask embedding +
+    the empty embedding, reference voicecraft.py:838-858) ride the same
+    tau-wide block forward with the write-pointer advancing only 2; the
+    tau-2 tail slots are rewind-trick garbage that key validity never
+    reads.  ``n_draft`` must be >= 2 so a feed pass fits in one block.
+
+    Returns fn with make_decode_loop's editing signature:
+      fn(params, x_tokens [1,x_pad], x_len, y_prefix [1,K,y_pad],
+         prefix_len, mask_emb_idx [1,y_pad], queue_mask_ids [max_spans],
+         n_spans, rng)
+        -> (gen_buf [gen_max+tau, K], span_buf [gen_max+tau], gen_cnt,
+            n_spans_done)
+    """
+    assert n_draft >= 2, "spec editing needs n_draft >= 2 (feed pass)"
+    K, D = cfg.n_codebooks, cfg.d_model
+    H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cap_mult = 10                                  # voicecraft.py:751
+    tau = n_draft
+    if max_spans is None:
+        max_spans = cfg.max_n_spans
+    s_max = x_pad + y_pad + gen_max + tau + 2 * (max_spans - 1)
+    pe_np = sine_table(MAX_POS, D)
+
+    def decode(params, x_tokens, x_len, y_prefix, prefix_len, mask_emb_idx,
+               queue_mask_ids, n_spans, rng):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        alpha_a = params["alpha_audio"].astype(dtype)
+
+        # ---- prefill (same as make_decode_loop's editing path) ----
+        x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
+        x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
+        y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
+        is_mask = mask_emb_idx >= 0
+        mask_vecs = jnp.take(params["mask_emb"],
+                             jnp.maximum(mask_emb_idx, 0), axis=0).astype(dtype)
+        y_emb = jnp.where(is_mask[..., None], mask_vecs, y_emb)
+        y_in = y_emb + alpha_a * pe[:y_pad]
+        xy = jnp.concatenate([x_in, y_in], axis=1)
+
+        Sp = x_pad + y_pad
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        if use_flash_prefill(Sp):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v, jnp.atleast_1d(x_len), jnp.atleast_1d(prefix_len),
+                x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(Sp)
+            key_valid = jnp.where(jj < x_pad, jj < x_len,
+                                  jj < x_pad + prefix_len)
+            qi = jnp.arange(Sp)[:, None]
+            allowed = (jnp.arange(Sp)[None, :] <= qi) & key_valid[None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[None, None]
+
+        cache = trm.init_kv_cache(L, 1, s_max, H, Dh, dtype)
+        h_all, cache = trm.prefill(params["decoder"], xy, bias, cache,
+                                   cfg.nhead)
+        h_last = jax.lax.dynamic_slice_in_dim(h_all, x_pad + prefix_len - 1,
+                                              1, axis=1)
+        logits0 = apply_heads(params["heads"], h_last)[:, 0]
+
+        empty_emb = embed_audio_tokens(
+            params["audio_emb"],
+            jnp.full((1, K, 1), cfg.empty_token, jnp.int32))[0, 0].astype(dtype)
+
+        state = SpecEditState(
+            cache=cache, logits=logits0, h=h_last[:, 0], rng=rng,
+            pos=jnp.asarray(x_pad) + prefix_len,
+            y_pos=prefix_len.astype(jnp.int32),
+            gen_buf=jnp.zeros((gen_max + tau, K), jnp.int32),
+            span_buf=jnp.zeros((gen_max + tau,), jnp.int32),
+            gen_cnt=jnp.asarray(0, jnp.int32),
+            codebook_eog=jnp.zeros((K,), bool),
+            cur_num_gen=jnp.asarray(0, jnp.int32),
+            consec_silence=jnp.asarray(0, jnp.int32),
+            prev_token=jnp.asarray(-1, jnp.int32),
+            span_idx=jnp.asarray(0, jnp.int32),
+            queue=jnp.zeros((2, D), dtype),
+            queue_len=jnp.asarray(0, jnp.int32),
+            n_passes=jnp.asarray(0, jnp.int32),
+            done=jnp.asarray(False))
+
+        def cond(s: SpecEditState):
+            return jnp.logical_not(s.done) & (s.gen_cnt < gen_max)
+
+        def body(s: SpecEditState) -> SpecEditState:
+            feeding = s.queue_len > 0
+            tok_key = lambda i: jax.random.fold_in(s.rng, s.gen_cnt + i)
+
+            # -- sampled-token block (ignored on feed passes) --
+            t0, eog0, consec0, prev0 = _adjust_and_sample(
+                cfg, scfg, False, cap_mult, tok_key(0), s.logits[0],
+                s.codebook_eog, s.cur_num_gen, s.consec_silence,
+                s.prev_token, s.y_pos, x_len)
+            mtp = jax.tree.map(lambda x: x[:tau - 1], params["mtp_heads"])
+            d_logits = jax.vmap(lambda hd: apply_heads(hd, s.h))(mtp)
+            drafts = jnp.argmax(d_logits[:, 0], axis=-1).astype(jnp.int32)
+            cng_d = s.cur_num_gen + 1 + jnp.arange(tau - 1)[:, None]
+            drafts = jnp.where(jnp.arange(K)[None, :] > cng_d,
+                               cfg.empty_token, drafts)
+            tokens = jnp.concatenate([t0[None], drafts], axis=0)  # [tau, K]
+            tok_emb = embed_audio_tokens(
+                params["audio_emb"], tokens.T[None])[0].astype(dtype)
+
+            # -- feed block: [mask_emb(next), empty_emb, garbage...] --
+            feed_emb = jnp.concatenate(
+                [s.queue, jnp.zeros((tau - 2, D), dtype)], axis=0)
+
+            emb = jnp.where(feeding, feed_emb, tok_emb)
+            pe_blk = jax.lax.dynamic_slice_in_dim(pe, s.y_pos, tau, axis=0)
+            feed = (emb + alpha_a * pe_blk)[None]           # [1, tau, D]
+            h_blk, cache = trm.decode_step_block(
+                params["decoder"], feed, s.cache, s.pos, cfg.nhead,
+                x_len=x_len, x_pad=x_pad)
+            logits_blk = apply_heads(params["heads"], h_blk)
+
+            # -- verify (fully gated off while feeding) --
+            emitted = [t0]
+            alive = jnp.logical_not(feeding) & jnp.logical_not(jnp.all(eog0))
+            st = (eog0, s.cur_num_gen + 1, consec0, prev0)
+            n_acc = jnp.asarray(1, jnp.int32)
+            for i in range(1, tau):
+                eog_c, cng_c, consec_c, prev_c = st
+                ti, eog_i, consec_i, prev_i = _adjust_and_sample(
+                    cfg, scfg, False, cap_mult, tok_key(i),
+                    logits_blk[0, i - 1], eog_c, cng_c, consec_c, prev_c,
+                    s.y_pos + i, x_len)
+                match = jnp.all(ti == tokens[i])
+                accept = alive & match & (s.gen_cnt + i < gen_max)
+                emitted.append(jnp.where(accept, ti, 0))
+                n_acc = n_acc + accept.astype(jnp.int32)
+                st = (jnp.where(accept, eog_i, eog_c),
+                      jnp.where(accept, cng_c + 1, cng_c),
+                      jnp.where(accept, consec_i, consec_c),
+                      jnp.where(accept, prev_i, prev_c))
+                alive = alive & accept & jnp.logical_not(jnp.all(eog_i))
+            eog_f, cng_f, consec_f, prev_f = st
+
+            # -- record the block (sampling passes only) --
+            blk = jnp.stack(emitted, axis=0)                # [tau, K]
+            gen_buf = jax.lax.cond(
+                feeding, lambda: s.gen_buf,
+                lambda: jax.lax.dynamic_update_slice(
+                    s.gen_buf, blk, (s.gen_cnt, 0)))
+            span_buf = jax.lax.cond(
+                feeding, lambda: s.span_buf,
+                lambda: jax.lax.dynamic_update_slice(
+                    s.span_buf, jnp.full((tau,), s.span_idx, jnp.int32),
+                    (s.gen_cnt,)))
+            gen_cnt = s.gen_cnt + jnp.where(feeding, 0, n_acc)
+
+            # -- span transition bookkeeping (voicecraft.py:827-858) --
+            span_complete = jnp.logical_not(feeding) & jnp.all(eog_f)
+            more_spans = (s.span_idx + 1) < n_spans
+            start_next = span_complete & more_spans
+            next_mask_id = queue_mask_ids[jnp.minimum(s.span_idx + 1,
+                                                      max_spans - 1)]
+            new_queue = jnp.stack(
+                [jnp.take(params["mask_emb"], next_mask_id,
+                          axis=0).astype(dtype), empty_emb], axis=0)
+            queue = jnp.where(start_next, new_queue, s.queue)
+            queue_len = jnp.where(start_next, 2,
+                                  jnp.where(feeding, 0, s.queue_len))
+            done = s.done | (span_complete & jnp.logical_not(more_spans))
+            span_idx = s.span_idx + start_next.astype(jnp.int32)
+
+            # per-span resets; feed passes keep their (already-reset) state
+            codebook_eog = jnp.where(span_complete, jnp.zeros_like(eog_f),
+                                     jnp.where(feeding, s.codebook_eog,
+                                               eog_f))
+            cur_num_gen = jnp.where(span_complete, 0,
+                                    jnp.where(feeding, s.cur_num_gen,
+                                              cng_f))
+            consec = jnp.where(span_complete, 0,
+                               jnp.where(feeding, s.consec_silence,
+                                         consec_f))
+            prev = jnp.where(span_complete, -1,
+                             jnp.where(feeding, s.prev_token, prev_f))
+
+            # -- seed the next pass: feed passes hand over the SECOND
+            #    feed's outputs (the empty embedding's logits start the
+            #    next span, matching the plain loop) --
+            n_adv = jnp.where(feeding, 2, n_acc)
+            last = n_adv - 1
+            logits_next = jnp.squeeze(
+                jax.lax.dynamic_slice_in_dim(logits_blk, last, 1, axis=1),
+                axis=1)
+            h_next = jax.lax.dynamic_slice_in_dim(h_blk[0], last, 1, axis=0)
+
+            return SpecEditState(
+                cache=cache, logits=logits_next, h=h_next, rng=s.rng,
+                pos=s.pos + n_adv, y_pos=s.y_pos + n_adv,
+                gen_buf=gen_buf, span_buf=span_buf, gen_cnt=gen_cnt,
+                codebook_eog=codebook_eog, cur_num_gen=cur_num_gen,
+                consec_silence=consec, prev_token=prev, span_idx=span_idx,
+                queue=queue, queue_len=queue_len,
+                n_passes=s.n_passes + 1, done=done)
+
+        final = jax.lax.while_loop(cond, body, state)
+        return (final.gen_buf, final.span_buf, final.gen_cnt,
+                final.span_idx + 1)
+
+    return jax.jit(decode)
+
+
 # ==============================================================================
 # batched best-of-N TTS (reference voicecraft.py:1156-1439)
 # ==============================================================================

@@ -95,6 +95,12 @@ def from_reference_state_dict(sd: dict, cfg: ModelConfig) -> dict:
 def to_reference_state_dict(params: dict, cfg: ModelConfig) -> dict:
     """Inverse of :func:`from_reference_state_dict` (numpy values)."""
     K, D, L = cfg.n_codebooks, cfg.d_model, cfg.num_decoder_layers
+    if "mtp_heads" in params:
+        import logging
+        logging.getLogger(__name__).warning(
+            "exporting to the reference format drops the MTP heads "
+            "(speculative decoding); keep the orbax checkpoint if you "
+            "need them")
     out = {}
     out["text_embedding.word_embeddings.weight"] = _np(params["text_emb"]["weight"])
     for k in range(K):
