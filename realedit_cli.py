@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--stop-repetition", type=int, default=-1)
     ap.add_argument("--silence-tokens", type=int, nargs="*",
                     default=[1388, 1898, 131])
+    ap.add_argument("--spec", type=int, default=0, metavar="TAU",
+                    help="speculative decoding (MTP-head checkpoint; "
+                         "greedy output identical to plain decoding)")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--num-seeds", type=int, default=1,
                     help="write one output per seed (reference _new_seed{n})")
@@ -110,7 +113,7 @@ def main():
 
             for s in range(args.num_seeds):
                 res = inference_edit(params, cfg, x, codes, intervals, scfg,
-                                     seed=args.seed + s)
+                                     seed=args.seed + s, spec=args.spec)
                 out = ec.decode_bucketed(cparams, res[None], ccfg)[0]
                 out_fn = os.path.join(args.out_dir,
                                       f"{stem}_new_seed{args.seed + s}.wav")
