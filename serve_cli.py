@@ -231,11 +231,12 @@ class Engine:
     def tts_stream(self, req: dict):
         """Generator of WAV byte chunks: header first, then PCM16 audio as
         the decode loop settles frames (inference/streaming.py — exact, the
-        codec is causal).  Single sentence, no smart-transcript modes;
-        first-audio latency is one engine burst instead of the whole
-        utterance.  Holds the model lock for the duration (one streaming
-        request decodes at a time)."""
-        from voicecraft_tpu.app import normalize_transcript
+        codec is causal).  ``mode: "Long TTS"`` streams the sentences
+        back-to-back (each synthesized from the same prompt, gradio-app
+        semantics); no smart-transcript modes.  First-audio latency is one
+        engine burst instead of the whole utterance.  Holds the model lock
+        for the duration (one streaming request decodes at a time)."""
+        from voicecraft_tpu.app import normalize_transcript, split_sentences
         from voicecraft_tpu.inference.streaming import stream_tts
         from voicecraft_tpu.models import encodec as ec
         ccfg = self.ccfg
@@ -248,9 +249,12 @@ class Engine:
                else min(prompt_end, wav.shape[1] / ccfg.sample_rate))
         codes = ec.encode_bucketed(
             self.cparams, wav[:, :int(cut * ccfg.sample_rate)], ccfg)[0]
-        target = (prompt_transcript + " "
-                  + target_text.replace("\n", " ")).strip()
-        x = self._phonemize(target)
+        if req.get("mode") == "Long TTS":
+            sentences = split_sentences(target_text,
+                                        req.get("split_text", "Sentence"))
+        else:
+            sentences = [target_text.replace("\n", " ")]
+        targets = [(prompt_transcript + " " + s).strip() for s in sentences]
         scfg = self._scfg(req)
         seed = int(req.get("seed", self.args.seed))
 
@@ -266,16 +270,19 @@ class Engine:
                                    -1, 1) * 32767).astype("<i2")
             yield pcm.tobytes()
         with self.lock:
-            for chunk in stream_tts(self.params, self.cfg, x, codes, scfg,
-                                    seed=seed, cparams=self.cparams,
-                                    ccfg=ccfg, kv_dtype=self.kv_dtype,
-                                    spec=self.spec,
-                                    burst=int(req.get("burst", 48))):
-                audio = chunk.get("audio")
-                if audio is not None and audio.size:
-                    pcm = np.round(np.clip(audio, -1, 1)
-                                   * 32767).astype("<i2")
-                    yield pcm.tobytes()
+            for i, target in enumerate(targets):
+                x = self._phonemize(target)
+                for chunk in stream_tts(self.params, self.cfg, x, codes,
+                                        scfg, seed=seed + i,
+                                        cparams=self.cparams,
+                                        ccfg=ccfg, kv_dtype=self.kv_dtype,
+                                        spec=self.spec,
+                                        burst=int(req.get("burst", 48))):
+                    audio = chunk.get("audio")
+                    if audio is not None and audio.size:
+                        pcm = np.round(np.clip(audio, -1, 1)
+                                       * 32767).astype("<i2")
+                        yield pcm.tobytes()
 
     def rerun(self, req: dict) -> dict:
         """Regenerate one sentence of a previous TTS session

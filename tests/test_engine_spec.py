@@ -115,3 +115,34 @@ def test_spec_rejects_too_few_mtp_heads(setup):
     with pytest.raises(ValueError, match="n_mtp"):
         inference_tts_spec(params, cfg, reqs[0][0], reqs[0][1],
                            SamplingConfig(), n_draft=5)
+
+
+def test_spec_engine_special_first():
+    """special_first=1 checkpoints through the SPEC engine and spec
+    serving: prompt segment of ``full`` must be the raw y and greedy
+    tokens must match single-stream decode."""
+    from voicecraft_tpu.inference.serving import serve_tts_batch
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32",
+                              special_first=1, n_mtp=3)
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(13)
+    K = cfg.n_codebooks
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+    x = rng.integers(0, cfg.text_vocab_size, 8).astype(np.int32)
+    y = rng.integers(0, cfg.audio_vocab_size - cfg.n_special,
+                     (K, 14)).astype(np.int32)
+    full1, gen1 = inference_tts(params, cfg, x, y, scfg, seed=0)
+
+    eng = ContinuousBatcher(params, cfg, lanes=2, x_pad=32, y_pad=64,
+                            gen_max=256, burst=16, scfg=scfg, seed=0,
+                            spec=4)
+    rid = eng.submit(x, y)
+    fullE, genE = eng.run()[rid]
+    np.testing.assert_array_equal(genE, gen1)
+    np.testing.assert_array_equal(fullE, full1)
+    np.testing.assert_array_equal(fullE[:, :y.shape[1]], y)
+
+    (fullS, genS), = serve_tts_batch(params, cfg, [(x, y)], scfg, seed=0,
+                                     spec=4)
+    np.testing.assert_array_equal(genS, gen1)
+    np.testing.assert_array_equal(fullS[:, :y.shape[1]], y)

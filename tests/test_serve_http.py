@@ -197,3 +197,21 @@ def test_tts_stream(server):
     pcm = np.frombuffer(data[44:], dtype="<i2")
     # at least half a second of real audio came through
     assert pcm.size > 8000 and np.abs(pcm).max() > 0
+
+
+def test_tts_stream_long(server):
+    """Long TTS streaming: sentences stream back-to-back in one WAV."""
+    b64 = _prompt_b64()
+    req = urllib.request.Request(
+        server + "/tts_stream",
+        data=json.dumps({
+            "prompt_wav_b64": b64, "prompt_end_sec": 1.5,
+            "prompt_transcript": "a test prompt", "mode": "Long TTS",
+            "target_transcript": "first sentence. second one.",
+            "top_k": 15, "burst": 16, "silence_tokens": [5, 7]}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=420) as r:
+        data = r.read()
+    assert data[:4] == b"RIFF"
+    pcm = np.frombuffer(data[44:], dtype="<i2")
+    assert pcm.size > 8000 and np.abs(pcm).max() > 0
