@@ -395,7 +395,7 @@ def _bench_serving(args, cfg, params, rng):
             cfg, batch_size=B, x_pad=x_pad, y_pad=y_pad, gen_max=gen_max,
             scfg=scfg, kv_dtype=kv_dtype)
     a = (params, jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
-         jnp.asarray(p_lens), jax.random.PRNGKey(0))
+         jnp.asarray(p_lens), jnp.zeros((B,), jnp.int32))
     t0 = time.perf_counter()
     out = loop(*a)
     _ = np.asarray(out[1])

@@ -197,13 +197,11 @@ class Engine:
         seed = int(req.get("seed", self.args.seed))
         scfg = self._scfg(req)
         sbs = int(req.get("sample_batch_size", 1))
-        # one shared seed so Long-TTS sentences group into ONE lockstep
-        # batch (the worker only batches identical (scfg, seed)); per-lane
-        # RNG already gives each sentence an independent draw.  Best-of-N
-        # slots still carry distinct seeds (decoded singly anyway).
+        # per-sentence seeds: distinct RNG streams regardless of how the
+        # micro-batcher slices sentences into waves (lanes carry their own
+        # seeds), and consistent with /tts_stream's per-sentence seeding
         slots = [{"x": self._phonemize(t), "codes": codes, "scfg": scfg,
-                  "seed": seed + i if sbs > 1 else seed, "sbs": sbs,
-                  "done": threading.Event(),
+                  "seed": seed + i, "sbs": sbs, "done": threading.Event(),
                   "result": None} for i, t in enumerate(targets)]
         self._decode_sentences(slots)
 
@@ -335,20 +333,22 @@ class Engine:
                     break
             try:
                 with self.lock:
-                    # batch only requests that share sampling params — the
-                    # lockstep loop is specialized on ONE (scfg, seed);
+                    # batch only requests that share a SamplingConfig —
+                    # the lockstep loop is specialized on one scfg;
                     # batching mixed params would silently decode every
-                    # lane with the first request's settings
+                    # lane with the first request's settings.  Per-request
+                    # SEEDS ride along (serving lanes key their RNG on
+                    # their own seed), so mixed-seed waves are fine.
                     groups: dict = {}
                     for s in slots:
-                        k = (s["scfg"], s["seed"], s.get("sbs", 1))
+                        k = (s["scfg"], s.get("sbs", 1))
                         groups.setdefault(k, []).append(s)
-                    for (scfg, seed, sbs), group in groups.items():
+                    for (scfg, sbs), group in groups.items():
                         if len(group) > 1 and sbs == 1:
                             outs = serve_tts_batch(
                                 self.params, self.cfg,
                                 [(s["x"], s["codes"]) for s in group],
-                                scfg, seed=seed,
+                                scfg, seeds=[s["seed"] for s in group],
                                 kv_dtype=self.kv_dtype, spec=self.spec)
                             for s, o in zip(group, outs):
                                 s["result"] = o
@@ -429,7 +429,8 @@ class Engine:
         with self.lock:
             res = inference_edit(self.params, cfg, x, codes, [interval],
                                  self._scfg(req),
-                                 seed=int(req.get("seed", self.args.seed)))
+                                 seed=int(req.get("seed", self.args.seed)),
+                                 spec=self.spec)
         out = ec.decode_bucketed(self.cparams, res[None], ccfg)[0]
         return {"wav_b64": self._wav_to_b64(out),
                 "edit_interval_frames": list(interval),

@@ -91,3 +91,27 @@ def test_serving_fp8_kv_cache_runs():
     np.testing.assert_array_equal(gen, out2[0][1])
     np.testing.assert_array_equal(full[:, :y.shape[1]], y)
     assert gen.shape[0] == K and (gen >= 0).all() and (gen < cfg.card).all()
+
+
+def test_serving_per_request_seeds():
+    """A wave can mix per-request seeds: each lane's stream is keyed on
+    its OWN seed (fold_in(PRNGKey(seed_b), b)), so changing one request's
+    seed changes only that request's draw, deterministically."""
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(6)
+    K = cfg.n_codebooks
+    x = rng.integers(0, cfg.text_vocab_size, 10).astype(np.int32)
+    y = rng.integers(0, cfg.audio_vocab_size, (K, 20)).astype(np.int32)
+    reqs = [(x, y), (x, y)]
+    scfg = SamplingConfig(top_k=20, temperature=1.0, silence_tokens=(5, 7))
+
+    a = serve_tts_batch(params, cfg, reqs, scfg, seeds=[3, 5])
+    b = serve_tts_batch(params, cfg, reqs, scfg, seeds=[3, 9])
+    # lane 0 kept its seed -> identical draw; lane 1 changed -> different
+    np.testing.assert_array_equal(a[0][1], b[0][1])
+    g1a, g1b = a[1][1], b[1][1]
+    assert g1a.shape != g1b.shape or not np.array_equal(g1a, g1b)
+    # full determinism for an identical wave
+    c = serve_tts_batch(params, cfg, reqs, scfg, seeds=[3, 5])
+    np.testing.assert_array_equal(a[1][1], c[1][1])

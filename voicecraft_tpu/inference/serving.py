@@ -37,7 +37,7 @@ from ..ops.attention import NEG_INF
 class ServingState(NamedTuple):
     cache: jnp.ndarray
     logits: jnp.ndarray          # [B, K, card]
-    rng: jnp.ndarray
+    rng: jnp.ndarray             # [B, 2] per-lane keys (per-request seeds)
     t: jnp.ndarray               # decode step counter (uniform)
     gen_buf: jnp.ndarray         # [gen_max, B, K]
     codebook_eog: jnp.ndarray    # [B, K]
@@ -51,8 +51,13 @@ def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                           y_pad: int, gen_max: int, scfg: SamplingConfig,
                           kv_dtype: Optional[str] = None):
     """Returns jitted fn(params, x_tokens [B,x_pad], x_lens [B],
-    y_prefix [B,K,y_pad], prefix_lens [B], rng)
+    y_prefix [B,K,y_pad], prefix_lens [B], lane_seeds [B])
       -> (gen_buf [gen_max,B,K], finish_t [B]).
+
+    Each lane's RNG stream is fold_in(PRNGKey(lane_seeds[b]), b): requests
+    keep their OWN seeds when batched (the micro-batcher can mix seeds in
+    one wave), while identical requests sharing a seed in different lanes
+    still draw independently (the lane fold).
 
     ``kv_dtype='float8_e4m3fn'`` stores the KV slab in fp8 — multi-lane
     decode reads the whole [B, S_max] slab every step, so this halves the
@@ -73,9 +78,12 @@ def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
             cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl),
         in_axes=(0, 0, 0, None, 0, 0, 0, 0))
 
-    def decode(params, x_tokens, x_lens, y_prefix, prefix_lens, rng):
+    def decode(params, x_tokens, x_lens, y_prefix, prefix_lens, lane_seeds):
         pe = jnp.asarray(pe_np).astype(dtype)
         alpha_a = params["alpha_audio"].astype(dtype)
+        lane_keys = jax.vmap(
+            lambda s, b: jax.random.fold_in(jax.random.PRNGKey(s), b))(
+                lane_seeds, jnp.arange(B))
 
         x_emb = jnp.take(params["text_emb"]["weight"], x_tokens, axis=0).astype(dtype)
         x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
@@ -104,7 +112,7 @@ def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
         logits0 = apply_heads(params["heads"], h_last)[:, 0]  # [B, K, card]
 
         state = ServingState(
-            cache=cache, logits=logits0, rng=rng,
+            cache=cache, logits=logits0, rng=lane_keys,
             t=jnp.asarray(0, jnp.int32),
             gen_buf=jnp.zeros((gen_max, B, K), jnp.int32),
             codebook_eog=jnp.zeros((B, K), bool),
@@ -117,8 +125,8 @@ def make_serving_tts_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
             return jnp.logical_not(jnp.all(s.done)) & (s.t < gen_max)
 
         def body(s: ServingState) -> ServingState:
-            rng, step_rng = jax.random.split(s.rng)
-            lane_rngs = jax.random.split(step_rng, B)
+            pairs = jax.vmap(lambda k: jax.random.split(k, 2))(s.rng)
+            rng, lane_rngs = pairs[:, 0], pairs[:, 1]        # [B, 2] each
             y_pos = prefix_lens + s.t                        # [B]
             samples, new_eog, new_consec, new_prev = sample_lane(
                 lane_rngs, s.logits, s.codebook_eog, s.t,
@@ -156,7 +164,7 @@ class SpecServingState(NamedTuple):
     cache: jnp.ndarray
     logits: jnp.ndarray          # [B, K, card] main-head logits, next slot
     h: jnp.ndarray               # [B, D] hidden at last accepted position
-    rng: jnp.ndarray             # base key; per-(lane, token-index) fold_in
+    rng: jnp.ndarray             # [B, 2] per-request keys (token-index fold)
     t: jnp.ndarray               # [B] accepted generated tokens per lane
     gen_buf: jnp.ndarray         # [gen_max + tau, B, K]
     codebook_eog: jnp.ndarray    # [B, K]
@@ -197,7 +205,7 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
     ceilings only).  Requires params["mtp_heads"] when n_draft > 1.
 
     Returns jitted fn(params, x_tokens [B,x_pad], x_lens [B],
-                      y_prefix [B,K,y_pad], prefix_lens [B], rng)
+                      y_prefix [B,K,y_pad], prefix_lens [B], lane_seeds [B])
       -> (gen_buf [gen_max+tau, B, K], t [B], n_passes).
     """
     from .spec_common import make_lane_sampler, spec_verify_pass
@@ -215,7 +223,13 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
 
     sample_lanes = make_lane_sampler(cfg, scfg, cap_mult)
 
-    def decode(params, x_tokens, x_lens, y_prefix, prefix_lens, rng):
+    def decode(params, x_tokens, x_lens, y_prefix, prefix_lens, lane_seeds):
+        # per-(request, token-index) keys: requests keep their own seeds
+        # when batched; the lane fold keeps identical same-seed requests
+        # in different lanes independent
+        req_keys = jax.vmap(
+            lambda sd, b: jax.random.fold_in(jax.random.PRNGKey(sd), b))(
+                lane_seeds, jnp.arange(B))
         pe = jnp.asarray(pe_np).astype(dtype)
         alpha_a = params["alpha_audio"].astype(dtype)
 
@@ -248,7 +262,7 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
 
         state = SpecServingState(
             cache=cache, logits=logits0,
-            h=h_last[:, 0].astype(jnp.float32), rng=rng,
+            h=h_last[:, 0].astype(jnp.float32), rng=req_keys,
             t=jnp.zeros((B,), jnp.int32),
             gen_buf=jnp.zeros((gen_max + tau, B, K), jnp.int32),
             codebook_eog=jnp.zeros((B, K), bool),
@@ -265,12 +279,11 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
 
         def body(s: SpecServingState) -> SpecServingState:
             active = jnp.logical_not(s.done)                   # [B]
-            lane_keys = jax.vmap(
-                lambda b: jax.random.fold_in(s.rng, b))(lane_ids)
 
             def tok_key(i):
-                # per-(lane, token-index): invariant to acceptance patterns
-                return jax.vmap(jax.random.fold_in)(lane_keys, s.t + i)
+                # per-(request, token-index): invariant to acceptance
+                # patterns and draft count
+                return jax.vmap(jax.random.fold_in)(s.rng, s.t + i)
 
             cell = {}
 
@@ -339,8 +352,14 @@ def serve_tts_batch(params, cfg: ModelConfig,
                     kv_dtype: Optional[str] = None,
                     spec: int = 0,
                     mesh=None,
+                    seeds: Optional[Sequence[int]] = None,
                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Decode a batch of (x_tokens [Lx], y_codes [K, T]) requests.
+
+    ``seeds``: optional per-request seeds (len == len(requests)) — each
+    lane's RNG stream is fold_in(PRNGKey(seeds[b]), b), so a wave can mix
+    requests with different seeds; identical same-seed requests in
+    different lanes still draw independently.  Default: ``seed`` for all.
 
     ``spec=TAU`` (>1) uses verified speculative decoding over all lanes
     (make_spec_serving_loop): requires params["mtp_heads"]; greedy per-lane
@@ -380,9 +399,13 @@ def serve_tts_batch(params, cfg: ModelConfig,
         xt[b, :len(x)] = x
         yt[b, :, :p.length] = p.tokens
 
+    lane_seeds = np.asarray(
+        [seed] * B if seeds is None else list(seeds), np.int32)
+    assert lane_seeds.shape == (B,), (lane_seeds.shape, B)
+
     def lane_args():
         arrs = (jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
-                jnp.asarray(p_lens))
+                jnp.asarray(p_lens), jnp.asarray(lane_seeds))
         if mesh is None:
             return arrs
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -396,15 +419,13 @@ def serve_tts_batch(params, cfg: ModelConfig,
         check_mtp_heads(params, spec)
         loop = _get_spec_serving_loop(cfg, B, spec, x_pad, y_pad, gen_max,
                                       scfg, kv_dtype)
-        gen_buf, t_acc, _ = loop(params, *lane_args(),
-                                 jax.random.PRNGKey(seed))
+        gen_buf, t_acc, _ = loop(params, *lane_args())
         gen_buf = np.asarray(gen_buf)
         n_rows = np.asarray(t_acc)
     else:
         loop = _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg,
                                  kv_dtype)
-        gen_buf, finish_t = loop(params, *lane_args(),
-                                 jax.random.PRNGKey(seed))
+        gen_buf, finish_t = loop(params, *lane_args())
         gen_buf = np.asarray(gen_buf)
         finish_t = np.asarray(finish_t)
         n_rows = np.where(finish_t >= 0, finish_t + 1, gen_buf.shape[0])
