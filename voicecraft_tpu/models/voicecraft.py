@@ -917,6 +917,15 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
     tau-2 tail slots are rewind-trick garbage that key validity never
     reads.  ``n_draft`` must be >= 2 so a feed pass fits in one block.
 
+    MAINTENANCE: the draft/verify chain below intentionally mirrors
+    make_spec_decode_loop's scalar-state implementation (and therefore
+    inference/spec_common.py's vectorized one) with is_tts=False — any fix
+    to acceptance/forced-empty/carry semantics must be applied to all
+    three; the cross-loop parity tests (tests/test_spec_decode.py,
+    tests/test_spec_edit.py, tests/test_serving_spec.py) are the tripwire.
+    Unifying this loop onto spec_common (needs an is_tts knob + exposing
+    the block outputs for the feed branch) is queued for round 3.
+
     Returns fn with make_decode_loop's editing signature:
       fn(params, x_tokens [1,x_pad], x_len, y_prefix [1,K,y_pad],
          prefix_len, mask_emb_idx [1,y_pad], queue_mask_ids [max_spans],
