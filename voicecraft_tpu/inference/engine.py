@@ -209,8 +209,13 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                     params["audio_emb"], samples[:, :, None])[:, 0].astype(dtype)
                 feed = feed_emb + alpha_a * jnp.take(
                     pe, jnp.minimum(y_pos, MAX_POS - 1), axis=0)
-                # dead lanes' ring writes are garbage in their own row only;
-                # their age-window is frozen at t so the garbage is invisible
+                # dead lanes' ring writes are garbage in their own row only.
+                # NOTE: frozen lanes DO attend that garbage — their age
+                # window (age <= t) keeps sliding onto post-freeze slots as
+                # gstep advances.  Correctness holds because frozen lanes'
+                # logits/samples are discarded (the `live` gating above and
+                # the flush keep-mask), NOT because the window excludes the
+                # garbage; never read a frozen lane's hidden state.
                 h, cache = _lane_decode_step(
                     params["decoder"], feed[:, None, :], cache,
                     cfg.nhead, s.x_lens, x_pad, s.prefix_lens, y_start,
@@ -607,7 +612,8 @@ class ContinuousBatcher:
         K = cfg.n_codebooks
         if self.spec > 1:
             from ..models.voicecraft import check_mtp_heads
-            check_mtp_heads(self.params, self.spec)
+            check_mtp_heads(self.params, self.spec,
+                            None if self.spec_force_accept else self.scfg)
         if self.spec > 1:
             # compact per-lane offsets: slab slack is one block, not a ring
             self._s_max = self.x_pad + self.y_pad + self.gen_max + self.spec

@@ -416,7 +416,7 @@ def serve_tts_batch(params, cfg: ModelConfig,
 
     if spec > 1:
         from ..models.voicecraft import check_mtp_heads
-        check_mtp_heads(params, spec)
+        check_mtp_heads(params, spec, scfg)
         loop = _get_spec_serving_loop(cfg, B, spec, x_pad, y_pad, gen_max,
                                       scfg, kv_dtype)
         gen_buf, t_acc, _ = loop(params, *lane_args())

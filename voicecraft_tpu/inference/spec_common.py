@@ -1,20 +1,23 @@
 """Shared core of one verified speculative pass over B lanes.
 
-Both multi-lane speculative decoders — lockstep spec serving
+ALL FOUR speculative decoders — single-stream TTS
+(models.voicecraft.make_spec_decode_loop), multi-span editing
+(models.voicecraft.make_spec_edit_loop), lockstep spec serving
 (serving.make_spec_serving_loop) and the spec continuous-batching engine
 (engine.make_spec_burst_fn) — run the same per-pass algorithm: sample the
 true next token per lane exactly as the plain loop would, draft tau-1 more
 from the MTP heads, run ONE block forward, then accept per lane the prefix
 the plain loop would have emitted.  They differ only in lane gating
-(done-mask vs active/retire), RNG keying, caps, and cache/record plumbing
-— so THIS function owns the verify semantics and the callers own the
-plumbing.  Divergence here is what bit-exactness contracts die of; fix
-verify behaviour in one place.
+(done-mask vs active/retire vs the edit loop's feed passes), RNG keying,
+caps, and cache/record plumbing — so THIS function owns the verify
+semantics and the callers own the plumbing.  Divergence here is what
+bit-exactness contracts die of; fix verify behaviour in one place.
 
-Single-stream spec decode (models.voicecraft.make_spec_decode_loop) keeps
-its scalar-state implementation: it predates this helper and its per-pass
-state is shapes [K]/scalars, not [B]-vectors; its parity tests pin the
-semantics both must follow.
+The single-stream loops call it with B=1 ([None]-lifted scalar state); the
+edit loop additionally passes ``mix_emb`` to substitute the span-transition
+feed embeddings and reads the raw block outputs (``h_blk``/``logits_blk``)
+to seed the next pass after a feed (its gate is off during feeds, so the
+gate-frozen ``*_next`` fields would be stale there).
 """
 
 from __future__ import annotations
@@ -27,11 +30,12 @@ from ..models.voicecraft import (SamplingConfig, _adjust_and_sample,
                                  apply_heads, embed_audio_tokens)
 
 
-def make_lane_sampler(cfg: ModelConfig, scfg: SamplingConfig, cap_mult: int):
+def make_lane_sampler(cfg: ModelConfig, scfg: SamplingConfig, cap_mult: int,
+                      is_tts: bool = True):
     """vmapped _adjust_and_sample over lanes (all args per-lane)."""
     return jax.vmap(
         lambda rng, lg, eog, cng, cs, pt, yp, xl: _adjust_and_sample(
-            cfg, scfg, True, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl))
+            cfg, scfg, is_tts, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl))
 
 
 def spec_verify_pass(params, cfg: ModelConfig, sample_lanes, *,
@@ -39,7 +43,8 @@ def spec_verify_pass(params, cfg: ModelConfig, sample_lanes, *,
                      logits, h, eog, cng, consec, prev, t,
                      accept_cap, pe, alpha_a, dtype, forward,
                      bench_mode: bool = False,
-                     force_accept: bool = False):
+                     force_accept: bool = False,
+                     mix_emb=None):
     """One verified tau-token pass for B lanes.
 
     gate [B]: lanes that participate (others are frozen: they emit empty
@@ -49,11 +54,18 @@ def spec_verify_pass(params, cfg: ModelConfig, sample_lanes, *,
     index bound — accept token i only while t + i < accept_cap.
     forward(feed [B, tau, D]) -> h_blk [B, tau, D] runs the block through
     the decoder (the caller owns cache layout and write plumbing).
+    mix_emb(emb [B, tau, D]) -> [B, tau, D]: optional hook applied to the
+    token embeddings BEFORE the positional term — the edit loop uses it to
+    substitute its span-transition feed embeddings on feed passes (whose
+    lanes are gated off, so verification ignores them).
 
     Returns dict with: blk [B, tau, K] emitted rows (rows >= n_acc are
     garbage and must be overwritten or never read), n_acc [B], eog / cng /
     consec / prev (final verify-carry state), logits_next [B, K, card]
-    (f32), h_next [B, D] (f32) — next-state fields are gate-frozen already.
+    (f32), h_next [B, D] (f32) — next-state fields are gate-frozen already
+    — plus the RAW block outputs h_blk [B, tau, D] / logits_blk
+    [B, tau, K, card] for callers whose gated-off lanes still need them
+    (the edit loop's feed branch).
     """
     K = cfg.n_codebooks
     B = logits.shape[0]
@@ -89,6 +101,8 @@ def spec_verify_pass(params, cfg: ModelConfig, sample_lanes, *,
     # -- one block forward for all lanes --
     emb = embed_audio_tokens(
         params["audio_emb"], tokens_b.transpose(0, 2, 1)).astype(dtype)
+    if mix_emb is not None:
+        emb = mix_emb(emb)
     pos_grid = y_pos0[:, None] + jnp.arange(tau)[None, :]
     feed = emb + alpha_a * jnp.take(pe, pos_grid, axis=0)
     h_blk = forward(feed)                                 # [B, tau, D]
@@ -138,4 +152,5 @@ def spec_verify_pass(params, cfg: ModelConfig, sample_lanes, *,
 
     return {"blk": jnp.stack(emitted, axis=1), "n_acc": n_acc,
             "eog": eog_f, "cng": cng_f, "consec": consec_f, "prev": prev_f,
-            "logits_next": logits_next, "h_next": h_next}
+            "logits_next": logits_next, "h_next": h_next,
+            "h_blk": h_blk, "logits_blk": logits_blk}

@@ -106,7 +106,7 @@ def run_decode(params, cfg: ModelConfig, *, is_tts: bool,
     if spec > 1:
         from ..models.voicecraft import check_mtp_heads
         assert not is_tts, "TTS speculative decode goes via inference_tts_spec"
-        check_mtp_heads(params, spec)
+        check_mtp_heads(params, spec, scfg)
         loop = _get_spec_edit_loop(cfg, x_pad, y_pad, gen_max, scfg,
                                    cfg.max_n_spans, spec)
     else:
@@ -209,7 +209,7 @@ def inference_tts_spec(params, cfg: ModelConfig, x_tokens: np.ndarray,
     """
     from ..models.voicecraft import check_mtp_heads
     K = cfg.n_codebooks
-    check_mtp_heads(params, n_draft)
+    check_mtp_heads(params, n_draft, scfg)
     if cfg.special_first:
         y_codes = y_codes + cfg.n_special
     prefix = spans.compose_tts_prefix(y_codes, cfg)

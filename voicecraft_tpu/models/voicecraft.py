@@ -92,12 +92,18 @@ def init_params(cfg: ModelConfig, key) -> dict:
     return params
 
 
-def check_mtp_heads(params, n_draft: int) -> None:
+def check_mtp_heads(params, n_draft: int, scfg=None) -> None:
     """Validate that a checkpoint can drive n_draft-token speculative decode.
 
     Without this, ``mtp_heads[:n_draft-1]`` on a checkpoint with fewer head
     groups silently BROADCASTS one head's drafts across the missing offsets
     (numpy-style), collapsing acceptance to ~plain speed with no error.
+
+    With ``scfg``, also warn when sampling temperature > 0: verification
+    accepts a draft only when the SAMPLED token equals the greedy MTP
+    argmax on all codebook rows, so under temperature sampling acceptance
+    is near zero even with well-trained heads and --spec becomes pure
+    per-pass overhead.  Speculative speedup is effectively greedy-only.
     """
     if n_draft <= 1:
         return
@@ -109,6 +115,15 @@ def check_mtp_heads(params, n_draft: int) -> None:
         raise ValueError(
             f"n_draft={n_draft} needs {n_draft - 1} MTP head groups, but "
             f"the checkpoint has n_mtp={n}")
+    if scfg is not None and scfg.temperature > 0:
+        import warnings
+        warnings.warn(
+            f"speculative decoding (n_draft={n_draft}) with "
+            f"temperature={scfg.temperature} > 0: exact-match verification "
+            "of greedy drafts against sampled tokens rejects almost "
+            "everything, so --spec will only add per-pass overhead.  Use "
+            "temperature <= 0 (greedy) for speculative speedup.",
+            stacklevel=2)
 
 
 def init_mtp_heads(cfg: ModelConfig, key) -> dict:
@@ -298,11 +313,28 @@ def forward_train(params, cfg: ModelConfig, batch: TrainBatch,
     # cell the verifier will actually compare.
     if "mtp_heads" in params:
         h_mtp = jax.lax.stop_gradient(h_y) if cfg.mtp_detach else h_y
-        mtp_logits = jax.vmap(lambda hd: apply_heads(hd, h_mtp),
-                              in_axes=0)(params["mtp_heads"])
-        # [n_mtp, B, Sy, K, card] -> [n_mtp, B, K, Sy, card]
-        mtp_logits = mtp_logits.transpose(0, 1, 3, 2, 4)
-        n_mtp = mtp_logits.shape[0]
+        n_mtp = jax.tree.leaves(params["mtp_heads"])[0].shape[0]
+
+        # One head group at a time, CE fused under jax.checkpoint: the
+        # stacked-vmap alternative materialises [n_mtp, B, Sy, K, card]
+        # logits PLUS their log_softmax in f32 — multiple GB per microbatch
+        # at 830M with 20k-token buckets (recipes/e830M_mtp.sh).  Remat
+        # keeps one group's logits live at a time and recomputes them in
+        # the backward from h_mtp (which is stored anyway); values are
+        # identical, only scheduling changes.
+        def group_stats(hd_j, hh, tgt_j, valid_j):
+            logits_j = apply_heads(hd_j, hh).transpose(0, 2, 1, 3)
+            logp_j = jax.nn.log_softmax(logits_j, axis=-1)   # [B,K,Sy,card]
+            tl = jnp.take_along_axis(logp_j, tgt_j[..., None],
+                                     axis=-1)[..., 0]
+            ce_j = -tl * valid_j
+            ntok_j = valid_j.sum(axis=(0, 2))
+            loss_jk = ce_j.sum(axis=(0, 2)) / jnp.maximum(ntok_j, 1)
+            top1 = (jnp.argmax(logits_j, axis=-1) == tgt_j) & valid_j
+            acc = top1.sum() / jnp.maximum(valid_j.sum(), 1)
+            return loss_jk, ntok_j, acc
+
+        group_stats = jax.checkpoint(group_stats)
         mtp_loss = jnp.zeros((), jnp.float32)
         mtp_acc = []
         not_mask = (batch.mask_emb_idx < 0)[:, None, :]     # [B, 1, Sy]
@@ -320,15 +352,11 @@ def forward_train(params, cfg: ModelConfig, batch: TrainBatch,
             valid_j = endpoint & win
             tgt_j = jnp.concatenate(
                 [batch.y_tokens[..., 2 + j:]] + [zcol] * (2 + j), axis=-1)
-            logp_j = jax.nn.log_softmax(mtp_logits[j], axis=-1)
-            tl = jnp.take_along_axis(logp_j, tgt_j[..., None], axis=-1)[..., 0]
-            ce_j = -tl * valid_j
-            ntok_j = valid_j.sum(axis=(0, 2))
-            loss_jk = ce_j.sum(axis=(0, 2)) / jnp.maximum(ntok_j, 1)
+            hd_j = jax.tree.map(lambda x: x[j], params["mtp_heads"])
+            loss_jk, ntok_j, acc_j = group_stats(hd_j, h_mtp, tgt_j, valid_j)
             mtp_loss = mtp_loss + jnp.sum(
                 loss_jk * ntok_j.astype(jnp.float32) * w)
-            top1 = (jnp.argmax(mtp_logits[j], axis=-1) == tgt_j) & valid_j
-            mtp_acc.append(top1.sum() / jnp.maximum(valid_j.sum(), 1))
+            mtp_acc.append(acc_j)
         mtp_loss = cfg.mtp_weight * mtp_loss
         out["mtp_loss"] = mtp_loss
         out["mtp_top1acc"] = jnp.stack(mtp_acc)
@@ -557,10 +585,13 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
         def substep(s: DecodeState) -> DecodeState:
             # `active` gates every state update: with steps_per_iter > 1 the
             # cond() guard only holds at group boundaries, so sub-steps after
-            # done (or past the gen_max budget) must be no-ops on the
-            # bookkeeping state.  With steps_per_iter == 1 active is always
-            # True here and the gates reduce to the plain loop.
-            active = jnp.logical_not(s.done)
+            # done OR past the gen_max budget must be no-ops on the
+            # bookkeeping state (including span_idx/queue/done — a
+            # budget-capped editing run must report the same n_spans_done as
+            # the k=1 loop, which stops dead at the budget).  With
+            # steps_per_iter == 1 active is always True here and the gates
+            # reduce to the plain loop.
+            active = jnp.logical_not(s.done) & (s.gen_cnt < gen_max)
             rng, step_rng = jax.random.split(s.rng)
             feeding = s.queue_len > 0
 
@@ -576,7 +607,7 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
                                     0, samples)
 
             span_complete = jnp.all(new_eog) & jnp.logical_not(feeding) & active
-            record = jnp.logical_not(feeding) & active & (s.gen_cnt < gen_max)
+            record = jnp.logical_not(feeding) & active
 
             gen_buf = jax.lax.cond(
                 record,
@@ -603,12 +634,13 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
             new_queue = jnp.stack(
                 [jnp.take(params["mask_emb"], next_mask_id, axis=0).astype(dtype),
                  empty_emb], axis=0)
+            consume = feeding & active
             queue = jnp.where(start_next, new_queue,
-                              jnp.where(feeding,
+                              jnp.where(consume,
                                         jnp.stack([s.queue[1], s.queue[1]], 0),
                                         s.queue))
             queue_len = jnp.where(start_next, 2,
-                                  jnp.where(feeding, s.queue_len - 1,
+                                  jnp.where(consume, s.queue_len - 1,
                                             s.queue_len))
 
             done = s.done | (span_complete & jnp.logical_not(more_spans))
@@ -663,7 +695,7 @@ def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
 class SpecDecodeState(NamedTuple):
     cache: jnp.ndarray
     logits: jnp.ndarray         # [1, K, card] main-head logits for next slot
-    h: jnp.ndarray              # [1, D] hidden at the last accepted position
+    h: jnp.ndarray              # [1, D] f32 hidden at last accepted position
     rng: jnp.ndarray            # base key; per-token keys via fold_in(index)
     pos: jnp.ndarray
     y_pos: jnp.ndarray
@@ -714,6 +746,7 @@ def make_spec_decode_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
                prefix_len, rng) -> (gen_buf [gen_max+n_draft, K], gen_cnt,
                                     n_passes)
     """
+    from ..inference.spec_common import make_lane_sampler, spec_verify_pass
     assert n_draft >= 1
     K, D = cfg.n_codebooks, cfg.d_model
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
@@ -723,6 +756,7 @@ def make_spec_decode_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
     tau = n_draft
     s_max = x_pad + y_pad + gen_max + tau
     pe_np = sine_table(MAX_POS, D)
+    sample_lanes = make_lane_sampler(cfg, scfg, cap_mult)
 
     def decode(params, x_tokens, x_len, y_prefix, prefix_len, rng):
         pe = jnp.asarray(pe_np).astype(dtype)
@@ -760,7 +794,7 @@ def make_spec_decode_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
         state = SpecDecodeState(
             cache=cache,
             logits=logits0,
-            h=h_last[:, 0],
+            h=h_last[:, 0].astype(jnp.float32),
             rng=rng,
             pos=jnp.asarray(x_pad) + prefix_len,
             y_pos=prefix_len.astype(jnp.int32),
@@ -777,102 +811,51 @@ def make_spec_decode_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
             return jnp.logical_not(s.done) & (s.gen_cnt < gen_max)
 
         def body(s: SpecDecodeState) -> SpecDecodeState:
-            tok_key = lambda i: jax.random.fold_in(s.rng, s.gen_cnt + i)
+            # B=1 call into the shared verify core (inference/spec_common.py
+            # owns the draft/accept/forced-empty/carry semantics for all
+            # four speculative modes)
+            tok_key = lambda i: jax.random.fold_in(s.rng, s.gen_cnt + i)[None]
+            cell = {}
 
-            # -- token 0: the true next token, exactly as the plain loop --
-            t0, eog0, consec0, prev0 = _adjust_and_sample(
-                cfg, scfg, True, cap_mult, tok_key(0), s.logits[0],
-                s.codebook_eog, s.cur_num_gen, s.consec_silence,
-                s.prev_token, s.y_pos, x_len)
-            if bench_mode:
-                eog0 = jnp.zeros_like(eog0)
-                t0 = jnp.where(t0 >= cfg.audio_vocab_size, 0, t0)
+            def forward(feed):
+                h_blk, cell["cache"] = trm.decode_step_block(
+                    params["decoder"], feed, s.cache, s.pos, cfg.nhead,
+                    x_len=x_len, x_pad=x_pad)
+                return h_blk
 
-            # -- drafts from the MTP heads at the last accepted hidden --
-            if tau > 1:
-                mtp = jax.tree.map(lambda x: x[:tau - 1], params["mtp_heads"])
-                d_logits = jax.vmap(lambda hd: apply_heads(hd, s.h))(mtp)
-                drafts = jnp.argmax(d_logits[:, 0], axis=-1)    # [tau-1, K]
-                drafts = drafts.astype(jnp.int32)
-                # the forced-empty rule (rows > cur_num_gen -> empty,
-                # voicecraft.py:1037-1039) is deterministic given position —
-                # mirror it on the drafts so the span's first K-1 steps don't
-                # reject on rows the verifier will force anyway
-                cng_d = s.cur_num_gen + 1 + jnp.arange(tau - 1)[:, None]
-                drafts = jnp.where(jnp.arange(K)[None, :] > cng_d,
-                                   cfg.empty_token, drafts)
-                tokens = jnp.concatenate([t0[None], drafts], axis=0)
-            else:
-                tokens = t0[None]                               # [tau, K]
+            out = spec_verify_pass(
+                params, cfg, sample_lanes, tau=tau,
+                gate=jnp.ones((1,), bool), tok_key=tok_key,
+                y_pos0=jnp.atleast_1d(s.y_pos),
+                x_lens=jnp.atleast_1d(x_len), logits=s.logits, h=s.h,
+                eog=s.codebook_eog[None],
+                cng=jnp.atleast_1d(s.cur_num_gen),
+                consec=jnp.atleast_1d(s.consec_silence),
+                prev=jnp.atleast_1d(s.prev_token), t=s.gen_cnt,
+                accept_cap=gen_max, pe=pe, alpha_a=alpha_a, dtype=dtype,
+                forward=forward, bench_mode=bench_mode,
+                force_accept=force_accept)
 
-            # -- one forward for the whole block --
-            emb = embed_audio_tokens(
-                params["audio_emb"], tokens.T[None])[0].astype(dtype)  # [tau,D]
-            pe_blk = jax.lax.dynamic_slice_in_dim(pe, s.y_pos, tau, axis=0)
-            feed = (emb + alpha_a * pe_blk)[None]               # [1, tau, D]
-            h_blk, cache = trm.decode_step_block(
-                params["decoder"], feed, s.cache, s.pos, cfg.nhead,
-                x_len=x_len, x_pad=x_pad)
-            logits_blk = apply_heads(params["heads"], h_blk)    # [1,tau,K,card]
-
-            # -- verify drafts against what the plain loop would emit --
-            emitted = [t0]
-            alive = jnp.logical_not(jnp.all(eog0))
-            st = (eog0, s.cur_num_gen + 1, consec0, prev0)
-            n_acc = jnp.asarray(1, jnp.int32)
-            for i in range(1, tau):
-                eog_c, cng_c, consec_c, prev_c = st
-                ti, eog_i, consec_i, prev_i = _adjust_and_sample(
-                    cfg, scfg, True, cap_mult, tok_key(i),
-                    logits_blk[0, i - 1], eog_c, cng_c, consec_c, prev_c,
-                    s.y_pos + i, x_len)
-                if bench_mode:
-                    eog_i = jnp.zeros_like(eog_i)
-                    ti = jnp.where(ti >= cfg.audio_vocab_size, 0, ti)
-                if force_accept:
-                    match = jnp.asarray(True)
-                    ti = tokens[i]
-                else:
-                    match = jnp.all(ti == tokens[i])
-                accept = alive & match & (s.gen_cnt + i < gen_max)
-                emitted.append(jnp.where(accept, ti, 0))
-                n_acc = n_acc + accept.astype(jnp.int32)
-                st = (jnp.where(accept, eog_i, eog_c),
-                      jnp.where(accept, cng_c + 1, cng_c),
-                      jnp.where(accept, consec_i, consec_c),
-                      jnp.where(accept, prev_i, prev_c))
-                alive = alive & accept & jnp.logical_not(jnp.all(eog_i))
-
-            eog_f, cng_f, consec_f, prev_f = st
-            done = jnp.all(eog_f)
-
-            # -- record the block; rows beyond n_acc are overwritten later --
-            blk = jnp.stack(emitted, axis=0)                    # [tau, K]
+            n_acc = out["n_acc"][0]
+            # record the block; rows beyond n_acc are overwritten later
             gen_buf = jax.lax.dynamic_update_slice(
-                s.gen_buf, blk, (s.gen_cnt, 0))
-
-            # -- the last accepted position's outputs seed the next pass --
-            last = n_acc - 1
-            logits_next = jnp.squeeze(
-                jax.lax.dynamic_slice_in_dim(logits_blk, last, 1, axis=1),
-                axis=1)                                         # [1, K, card]
-            h_next = jax.lax.dynamic_slice_in_dim(h_blk[0], last, 1, axis=0)
+                s.gen_buf, out["blk"][0], (s.gen_cnt, 0))
 
             return SpecDecodeState(
-                cache=cache,
-                logits=logits_next,
-                h=h_next,
+                cache=cell["cache"],
+                logits=out["logits_next"],
+                h=out["h_next"],
                 rng=s.rng,
                 pos=s.pos + n_acc,
                 y_pos=s.y_pos + n_acc,
                 gen_buf=gen_buf,
                 gen_cnt=s.gen_cnt + n_acc,
-                codebook_eog=eog_f,
-                cur_num_gen=cng_f,
-                consec_silence=consec_f,
-                prev_token=prev_f,
+                codebook_eog=out["eog"][0],
+                cur_num_gen=out["cng"][0],
+                consec_silence=out["consec"][0],
+                prev_token=out["prev"][0],
                 n_passes=s.n_passes + 1,
-                done=done)
+                done=jnp.all(out["eog"][0]))
 
         final = jax.lax.while_loop(cond, body, state)
         return final.gen_buf, final.gen_cnt, final.n_passes
@@ -917,14 +900,13 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
     tau-2 tail slots are rewind-trick garbage that key validity never
     reads.  ``n_draft`` must be >= 2 so a feed pass fits in one block.
 
-    MAINTENANCE: the draft/verify chain below intentionally mirrors
-    make_spec_decode_loop's scalar-state implementation (and therefore
-    inference/spec_common.py's vectorized one) with is_tts=False — any fix
-    to acceptance/forced-empty/carry semantics must be applied to all
-    three; the cross-loop parity tests (tests/test_spec_decode.py,
-    tests/test_spec_edit.py, tests/test_serving_spec.py) are the tripwire.
-    Unifying this loop onto spec_common (needs an is_tts knob + exposing
-    the block outputs for the feed branch) is queued for round 3.
+    The draft/verify chain is inference/spec_common.spec_verify_pass with
+    is_tts=False: feed passes gate the verify core off (gate=~feeding),
+    substitute the queued embeddings via the ``mix_emb`` hook, and seed the
+    next pass from the raw block outputs (slot 1 = the empty embedding's
+    logits, matching the plain loop) instead of the gate-frozen ``*_next``
+    fields.  Cross-loop parity tests (tests/test_spec_edit.py) pin the
+    behaviour against the plain editing loop.
 
     Returns fn with make_decode_loop's editing signature:
       fn(params, x_tokens [1,x_pad], x_len, y_prefix [1,K,y_pad],
@@ -933,6 +915,7 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
         -> (gen_buf [gen_max+tau, K], span_buf [gen_max+tau], gen_cnt,
             n_spans_done)
     """
+    from ..inference.spec_common import make_lane_sampler, spec_verify_pass
     assert n_draft >= 2, "spec editing needs n_draft >= 2 (feed pass)"
     K, D = cfg.n_codebooks, cfg.d_model
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
@@ -943,6 +926,7 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
         max_spans = cfg.max_n_spans
     s_max = x_pad + y_pad + gen_max + tau + 2 * (max_spans - 1)
     pe_np = sine_table(MAX_POS, D)
+    sample_lanes = make_lane_sampler(cfg, scfg, cap_mult, is_tts=False)
 
     def decode(params, x_tokens, x_len, y_prefix, prefix_len, mask_emb_idx,
                queue_mask_ids, n_spans, rng):
@@ -1009,69 +993,51 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
 
         def body(s: SpecEditState) -> SpecEditState:
             feeding = s.queue_len > 0
-            tok_key = lambda i: jax.random.fold_in(s.rng, s.gen_cnt + i)
-
-            # -- sampled-token block (ignored on feed passes) --
-            t0, eog0, consec0, prev0 = _adjust_and_sample(
-                cfg, scfg, False, cap_mult, tok_key(0), s.logits[0],
-                s.codebook_eog, s.cur_num_gen, s.consec_silence,
-                s.prev_token, s.y_pos, x_len)
-            mtp = jax.tree.map(lambda x: x[:tau - 1], params["mtp_heads"])
-            d_logits = jax.vmap(lambda hd: apply_heads(hd, s.h))(mtp)
-            drafts = jnp.argmax(d_logits[:, 0], axis=-1).astype(jnp.int32)
-            cng_d = s.cur_num_gen + 1 + jnp.arange(tau - 1)[:, None]
-            drafts = jnp.where(jnp.arange(K)[None, :] > cng_d,
-                               cfg.empty_token, drafts)
-            tokens = jnp.concatenate([t0[None], drafts], axis=0)  # [tau, K]
-            tok_emb = embed_audio_tokens(
-                params["audio_emb"], tokens.T[None])[0].astype(dtype)
+            tok_key = lambda i: jax.random.fold_in(s.rng, s.gen_cnt + i)[None]
 
             # -- feed block: [mask_emb(next), empty_emb, garbage...] --
+            # substituted for the token embeddings while feeding; the verify
+            # core is gated off then (gate=~feeding) so its sampling/carry
+            # state is frozen and only the raw block outputs matter
             feed_emb = jnp.concatenate(
                 [s.queue, jnp.zeros((tau - 2, D), dtype)], axis=0)
+            mix = lambda e: jnp.where(feeding, feed_emb[None], e)
 
-            emb = jnp.where(feeding, feed_emb, tok_emb)
-            pe_blk = jax.lax.dynamic_slice_in_dim(pe, s.y_pos, tau, axis=0)
-            feed = (emb + alpha_a * pe_blk)[None]           # [1, tau, D]
-            h_blk, cache = trm.decode_step_block(
-                params["decoder"], feed, s.cache, s.pos, cfg.nhead,
-                x_len=x_len, x_pad=x_pad)
-            logits_blk = apply_heads(params["heads"], h_blk)
+            cell = {}
 
-            # -- verify (fully gated off while feeding) --
-            emitted = [t0]
-            alive = jnp.logical_not(feeding) & jnp.logical_not(jnp.all(eog0))
-            st = (eog0, s.cur_num_gen + 1, consec0, prev0)
-            n_acc = jnp.asarray(1, jnp.int32)
-            for i in range(1, tau):
-                eog_c, cng_c, consec_c, prev_c = st
-                ti, eog_i, consec_i, prev_i = _adjust_and_sample(
-                    cfg, scfg, False, cap_mult, tok_key(i),
-                    logits_blk[0, i - 1], eog_c, cng_c, consec_c, prev_c,
-                    s.y_pos + i, x_len)
-                match = jnp.all(ti == tokens[i])
-                accept = alive & match & (s.gen_cnt + i < gen_max)
-                emitted.append(jnp.where(accept, ti, 0))
-                n_acc = n_acc + accept.astype(jnp.int32)
-                st = (jnp.where(accept, eog_i, eog_c),
-                      jnp.where(accept, cng_c + 1, cng_c),
-                      jnp.where(accept, consec_i, consec_c),
-                      jnp.where(accept, prev_i, prev_c))
-                alive = alive & accept & jnp.logical_not(jnp.all(eog_i))
-            eog_f, cng_f, consec_f, prev_f = st
+            def forward(feed):
+                h_blk, cell["cache"] = trm.decode_step_block(
+                    params["decoder"], feed, s.cache, s.pos, cfg.nhead,
+                    x_len=x_len, x_pad=x_pad)
+                return h_blk
+
+            out = spec_verify_pass(
+                params, cfg, sample_lanes, tau=tau,
+                gate=jnp.logical_not(feeding)[None], tok_key=tok_key,
+                y_pos0=jnp.atleast_1d(s.y_pos),
+                x_lens=jnp.atleast_1d(x_len), logits=s.logits, h=s.h,
+                eog=s.codebook_eog[None],
+                cng=jnp.atleast_1d(s.cur_num_gen),
+                consec=jnp.atleast_1d(s.consec_silence),
+                prev=jnp.atleast_1d(s.prev_token), t=s.gen_cnt,
+                accept_cap=gen_max, pe=pe, alpha_a=alpha_a, dtype=dtype,
+                forward=forward, mix_emb=mix)
+
+            n_acc = out["n_acc"][0]        # 0 on feed passes (gate off)
+            eog_f, cng_f = out["eog"][0], out["cng"][0]
+            consec_f, prev_f = out["consec"][0], out["prev"][0]
 
             # -- record the block (sampling passes only) --
-            blk = jnp.stack(emitted, axis=0)                # [tau, K]
             gen_buf = jax.lax.cond(
                 feeding, lambda: s.gen_buf,
                 lambda: jax.lax.dynamic_update_slice(
-                    s.gen_buf, blk, (s.gen_cnt, 0)))
+                    s.gen_buf, out["blk"][0], (s.gen_cnt, 0)))
             span_buf = jax.lax.cond(
                 feeding, lambda: s.span_buf,
                 lambda: jax.lax.dynamic_update_slice(
                     s.span_buf, jnp.full((tau,), s.span_idx, jnp.int32),
                     (s.gen_cnt,)))
-            gen_cnt = s.gen_cnt + jnp.where(feeding, 0, n_acc)
+            gen_cnt = s.gen_cnt + n_acc
 
             # -- span transition bookkeeping (voicecraft.py:827-858) --
             span_complete = jnp.logical_not(feeding) & jnp.all(eog_f)
@@ -1088,31 +1054,28 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
             done = s.done | (span_complete & jnp.logical_not(more_spans))
             span_idx = s.span_idx + start_next.astype(jnp.int32)
 
-            # per-span resets; feed passes keep their (already-reset) state
+            # per-span resets; on feed passes the verify core already froze
+            # eog_f/cng_f/consec_f/prev_f to the carried state (gate off)
             codebook_eog = jnp.where(span_complete, jnp.zeros_like(eog_f),
-                                     jnp.where(feeding, s.codebook_eog,
-                                               eog_f))
-            cur_num_gen = jnp.where(span_complete, 0,
-                                    jnp.where(feeding, s.cur_num_gen,
-                                              cng_f))
-            consec = jnp.where(span_complete, 0,
-                               jnp.where(feeding, s.consec_silence,
-                                         consec_f))
-            prev = jnp.where(span_complete, -1,
-                             jnp.where(feeding, s.prev_token, prev_f))
+                                     eog_f)
+            cur_num_gen = jnp.where(span_complete, 0, cng_f)
+            consec = jnp.where(span_complete, 0, consec_f)
+            prev = jnp.where(span_complete, -1, prev_f)
 
-            # -- seed the next pass: feed passes hand over the SECOND
-            #    feed's outputs (the empty embedding's logits start the
-            #    next span, matching the plain loop) --
+            # -- seed the next pass from the RAW block outputs: feed passes
+            #    hand over the SECOND feed's outputs (the empty embedding's
+            #    logits start the next span, matching the plain loop) --
             n_adv = jnp.where(feeding, 2, n_acc)
             last = n_adv - 1
             logits_next = jnp.squeeze(
-                jax.lax.dynamic_slice_in_dim(logits_blk, last, 1, axis=1),
-                axis=1)
-            h_next = jax.lax.dynamic_slice_in_dim(h_blk[0], last, 1, axis=0)
+                jax.lax.dynamic_slice_in_dim(out["logits_blk"], last, 1,
+                                             axis=1), axis=1)
+            h_next = jax.lax.dynamic_slice_in_dim(out["h_blk"][0], last, 1,
+                                                  axis=0)
 
             return SpecEditState(
-                cache=cache, logits=logits_next, h=h_next, rng=s.rng,
+                cache=cell["cache"], logits=logits_next, h=h_next,
+                rng=s.rng,
                 pos=s.pos + n_adv, y_pos=s.y_pos + n_adv,
                 gen_buf=gen_buf, span_buf=span_buf, gen_cnt=gen_cnt,
                 codebook_eog=codebook_eog, cur_num_gen=cur_num_gen,
