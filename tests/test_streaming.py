@@ -98,3 +98,48 @@ def test_streaming_with_speculative_engine(setup):
     np.testing.assert_array_equal(spec[-1]["gen"], plain[-1]["gen"])
     streamed = np.concatenate([c["frames"] for c in spec], axis=1)
     np.testing.assert_array_equal(streamed, spec[-1]["gen"])
+
+
+def test_streaming_decoder_exact_random_feeds(setup):
+    """StreamingDecoder: arbitrary feed sizes (incl. sub-chunk dribbles and
+    a tiny first feed) must reproduce the one-shot decode bit-exactly."""
+    _, _, ccfg, cparams, _, _ = setup
+    rng = np.random.default_rng(7)
+    T = 137
+    codes = rng.integers(0, ccfg.codebook_size,
+                         (ccfg.n_q, T)).astype(np.int32)
+    full = ec.decode_bucketed(cparams, codes[None], ccfg)[0]
+
+    for sizes in ([3, 2, 4, 30, 1, 17, 16, 64],   # tiny first feeds
+                  [16] * 8,                        # exact chunk multiples
+                  [137],                           # one shot through feed
+                  [5, 132]):
+        dec = ec.StreamingDecoder(cparams, ccfg, chunk_frames=16)
+        out, pos = [], 0
+        for m in sizes + [T]:          # trailing T: feed any remainder
+            m = min(m, T - pos)
+            if m <= 0:
+                break
+            out.append(dec.feed(codes[:, pos:pos + m]))
+            pos += m
+        out.append(dec.flush())
+        audio = np.concatenate(out)
+        assert audio.shape == full.shape, sizes
+        np.testing.assert_array_equal(audio, full, err_msg=str(sizes))
+
+
+def test_streaming_decoder_flush_short_utterance(setup):
+    """Utterances shorter than STREAM_MIN_FIRST frames only emit on flush."""
+    _, _, ccfg, cparams, _, _ = setup
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, ccfg.codebook_size,
+                         (ccfg.n_q, 4)).astype(np.int32)
+    # NOTE ground truth is the exact-length decode(): decode_bucketed's
+    # zero-pad leaks into the sequence-start reflect window below
+    # STREAM_MIN_FIRST frames, so it is itself inexact there
+    import jax.numpy as jnp
+    full = np.asarray(ec.decode(cparams, jnp.asarray(codes[None]), ccfg))[0]
+    dec = ec.StreamingDecoder(cparams, ccfg)
+    assert dec.feed(codes).shape == (0,)
+    audio = dec.flush()
+    np.testing.assert_array_equal(audio, full)

@@ -320,6 +320,261 @@ def decode_bucketed(params, codes: np.ndarray, cfg: EncodecConfig,
 
 
 # ==============================================================================
+# exact incremental (streaming) decode
+# ==============================================================================
+#
+# The decoder stack is causal end-to-end, so a chunk of frames can be decoded
+# EXACTLY with O(chunk) work by carrying per-layer state instead of
+# re-decoding the whole prefix (which is O(T^2) over an utterance —
+# VERDICT r02 #4):
+#   * stride-1 causal convs carry their last (kernel_eff - 1) input samples;
+#   * the LSTM carries (h, c) per layer;
+#   * transposed convs carry the (K - stride)-sample output tail
+#     (overlap-add; bias applied once, on emission).
+# The only non-causal wrinkle is the reflect LEFT pad at the sequence start
+# (audiocraft pad1d semantics): the first output samples depend on inputs
+# 1..pad, so the FIRST chunk must carry at least kernel_size frames
+# (STREAM_MIN_FIRST) — the first call runs the normal causal-padded conv and
+# captures carries; later calls run VALID convs over [carry ; chunk].
+# Bit-exactness vs decode() is proven in tests/test_streaming.py.
+
+STREAM_MIN_FIRST = 7     # kernel_size of the decoder's init conv
+
+
+def _conv_valid(params, x, dilation: int = 1):
+    y = jax.lax.conv_general_dilated(
+        x, params["w"].astype(x.dtype), window_strides=(1,), padding="VALID",
+        rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return y + params["b"].astype(x.dtype)
+
+
+def _sconv(params, x, carry, dilation, first, cfg):
+    """Streaming stride-1 causal conv: emits exactly len(x) outputs."""
+    K = params["w"].shape[0]
+    ke = (K - 1) * dilation + 1
+    if first:
+        y = conv1d(params, x, dilation=dilation, causal=True,
+                   pad_mode=cfg.pad_mode)
+        xc = x
+    else:
+        xc = jnp.concatenate([carry, x], axis=1)
+        y = _conv_valid(params, xc, dilation)
+    new_carry = xc[:, xc.shape[1] - (ke - 1):] if ke > 1 else carry
+    return y, new_carry
+
+
+def _sconvtr(params, x, tail, stride):
+    """Streaming causal ConvTranspose1d (trim_right_ratio=1): overlap-add.
+
+    Emits len(x)*stride samples; carries the (K - stride)-sample tail
+    WITHOUT bias (bias is added once per emitted sample)."""
+    K = params["w"].shape[0]
+    y = jax.lax.conv_transpose(
+        x, params["w"].astype(x.dtype),
+        strides=(stride,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        transpose_kernel=True,
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    y = y.at[:, :K - stride].add(tail)
+    m = x.shape[1]
+    emit = y[:, :m * stride] + params["b"].astype(x.dtype)
+    return emit, y[:, m * stride:]
+
+
+def _slstm(params, x, carry, first, skip: bool = True):
+    """Streaming lstm_stack: carries (h, c) per layer."""
+    y = x
+    new_carry = []
+    for li, layer in enumerate(params["layers"]):
+        w_ih = layer["w_ih"].astype(jnp.float32)
+        w_hh = layer["w_hh"].astype(jnp.float32)
+        b = (layer["b_ih"] + layer["b_hh"]).astype(jnp.float32)
+        H = w_hh.shape[1]
+        B = y.shape[0]
+        xin = jnp.einsum("btc,gc->btg", y.astype(jnp.float32), w_ih) + b
+
+        def step(hc, xt):
+            h, c = hc
+            gates = xt + h @ w_hh.T
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        init = ((jnp.zeros((B, H), jnp.float32),
+                 jnp.zeros((B, H), jnp.float32)) if first else carry[li])
+        hc, hs = jax.lax.scan(step, init, xin.transpose(1, 0, 2))
+        new_carry.append(hc)
+        y = hs.transpose(1, 0, 2).astype(x.dtype)
+    return (y + x if skip else y), new_carry
+
+
+def _sresnet(blk, x, st, cfg: EncodecConfig, dilation, first):
+    h = _elu(x)
+    h, c1 = _sconv(blk["conv1"], h, st["conv1"], dilation, first, cfg)
+    h = _elu(h)
+    h, c2 = _sconv(blk["conv2"], h, st["conv2"], 1, first, cfg)
+    new_st = {"conv1": c1, "conv2": c2}
+    if cfg.true_skip:
+        return x + h, new_st
+    s, cs = _sconv(blk["shortcut"], x, st["shortcut"], 1, first, cfg)
+    new_st["shortcut"] = cs
+    return s + h, new_st
+
+
+def stream_decode_init(params, cfg: EncodecConfig, B: int = 1,
+                       dtype=jnp.float32) -> dict:
+    """Zero-initialised per-layer streaming state for the decoder."""
+    dec = params["decoder"]
+
+    def conv_carry(p, dilation=1):
+        K, cin = p["w"].shape[0], p["w"].shape[1]
+        ke = (K - 1) * dilation + 1
+        return jnp.zeros((B, ke - 1, cin), dtype)
+
+    def res_st(blk, dilation):
+        st = {"conv1": conv_carry(blk["conv1"], dilation),
+              "conv2": conv_carry(blk["conv2"], 1)}
+        if not cfg.true_skip:
+            st["shortcut"] = conv_carry(blk["shortcut"], 1)
+        return st
+
+    stages = []
+    for s, stage in enumerate(dec["stages"]):
+        K, cout = stage["up"]["w"].shape[0], stage["up"]["w"].shape[1]
+        stages.append({
+            "up": jnp.zeros((B, K - cfg.ratios[s], cout), dtype),
+            "blocks": [res_st(blk, cfg.dilation_base ** j)
+                       for j, blk in enumerate(stage["blocks"])]})
+    lstm = [(jnp.zeros((B, l["w_hh"].shape[1]), jnp.float32),
+             jnp.zeros((B, l["w_hh"].shape[1]), jnp.float32))
+            for l in dec["lstm"]["layers"]] if cfg.lstm else []
+    return {"init": conv_carry(dec["init"]), "lstm": lstm,
+            "stages": stages, "final": conv_carry(dec["final"])}
+
+
+def decode_frames_stream(params, z: jnp.ndarray, st: dict,
+                         cfg: EncodecConfig, first: bool):
+    """Streaming decode_frames: z [B, m, dimension] -> (wav [B, m*hop, ch],
+    new state).  With ``first`` the carries in ``st`` are ignored (the
+    sequence-start reflect padding is used instead) and fresh carries are
+    captured; m must be >= STREAM_MIN_FIRST then."""
+    assert cfg.causal, "streaming decode requires a causal codec"
+    x, c_init = _sconv(params["init"], z, st["init"], 1, first, cfg)
+    if cfg.lstm:
+        x, c_lstm = _slstm(params["lstm"], x, st["lstm"], first)
+    else:
+        c_lstm = []
+    stages = []
+    for s, stage in enumerate(params["stages"]):
+        x = _elu(x)
+        x, tail = _sconvtr(stage["up"], x, st["stages"][s]["up"],
+                           cfg.ratios[s])
+        blocks = []
+        for j, blk in enumerate(stage["blocks"]):
+            x, cb = _sresnet(blk, x, st["stages"][s]["blocks"][j], cfg,
+                             cfg.dilation_base ** j, first)
+            blocks.append(cb)
+        stages.append({"up": tail, "blocks": blocks})
+    x = _elu(x)
+    x, c_fin = _sconv(params["final"], x, st["final"], 1, first, cfg)
+    return x, {"init": c_init, "lstm": c_lstm, "stages": stages,
+               "final": c_fin}
+
+
+@_lru_cache(maxsize=32)
+def _stream_step_fn(cfg: EncodecConfig, chunk: int, first: bool):
+    def step(params, codes, st):
+        z = rvq_decode(params["codebooks"], codes)
+        wav, st = decode_frames_stream(params["decoder"], z, st, cfg, first)
+        return wav[..., 0], st
+    return jax.jit(step)
+
+
+class StreamingDecoder:
+    """Exact incremental codes->wav decoder (host driver).
+
+    ``feed(frames [n_q, m])`` returns the newly settled samples: all samples
+    of the stream so far beyond what earlier feeds returned, bit-identical
+    to the same positions of ``decode()`` on the full code sequence.  Work
+    per feed is O(m + chunk): full ``chunk_frames`` blocks advance the
+    carried state; a trailing partial block is decoded off a CLONED state
+    (zero-padded to the chunk shape — strict causality keeps the emitted
+    prefix exact) and re-processed when enough frames arrive.  Before
+    STREAM_MIN_FIRST frames exist nothing is emitted (the sequence-start
+    reflect pad needs them).
+    """
+
+    def __init__(self, params, cfg: EncodecConfig, chunk_frames: int = 16):
+        assert cfg.causal, "streaming decode requires a causal codec"
+        assert chunk_frames >= STREAM_MIN_FIRST
+        self.params = params
+        self.cfg = cfg
+        self.chunk = chunk_frames
+        self.pending = np.zeros((cfg.n_q, 0), np.int32)
+        self.state = None              # carries for frames consumed so far
+        self.state_frames = 0          # frames consumed into self.state
+        self.emitted = 0               # samples returned so far (global)
+
+    def _run(self, frames: np.ndarray, persist: bool):
+        """Decode ``frames`` (shape [n_q, chunk]) on top of self.state."""
+        first = self.state is None
+        step = _stream_step_fn(self.cfg, self.chunk, first)
+        if first:
+            st_in = stream_decode_init(self.params, self.cfg)
+        else:
+            st_in = self.state
+        wav, st = step(self.params, jnp.asarray(frames[None]), st_in)
+        if persist:
+            self.state = st
+            self.state_frames += frames.shape[1]
+        return np.asarray(wav[0])
+
+    def feed(self, new_frames: np.ndarray) -> np.ndarray:
+        hop = self.cfg.hop_length
+        if new_frames.shape[1]:
+            self.pending = np.concatenate(
+                [self.pending, np.asarray(new_frames, np.int32)], axis=1)
+        out = []
+
+        def emit(wav, start_frame):
+            # slice off samples an earlier partial-block run already returned
+            lo = self.emitted - start_frame * hop
+            if lo < wav.shape[0]:
+                out.append(wav[max(lo, 0):])
+                self.emitted = start_frame * hop + wav.shape[0]
+
+        while self.pending.shape[1] >= self.chunk:
+            start = self.state_frames
+            wav = self._run(self.pending[:, :self.chunk], persist=True)
+            self.pending = self.pending[:, self.chunk:]
+            emit(wav, start)
+        r = self.pending.shape[1]
+        total = self.state_frames + r
+        if r and (self.state is not None or total >= STREAM_MIN_FIRST):
+            padded = np.zeros((self.cfg.n_q, self.chunk), np.int32)
+            padded[:, :r] = self.pending
+            wav = self._run(padded, persist=False)[:r * hop]
+            emit(wav, self.state_frames)
+        if not out:
+            return np.zeros((0,), np.float32)
+        return np.concatenate(out).astype(np.float32)
+
+    def flush(self) -> np.ndarray:
+        """Emit anything still held back.  Only the degenerate
+        sub-STREAM_MIN_FIRST whole-utterance case holds samples (feed
+        emits everything else eagerly); decode it in one shot."""
+        r = self.pending.shape[1]
+        if self.state is None and 0 < r < STREAM_MIN_FIRST:
+            wav = np.asarray(decode(
+                self.params, jnp.asarray(self.pending[None]), self.cfg))[0]
+            self.emitted = r * self.cfg.hop_length
+            return wav.astype(np.float32)
+        return np.zeros((0,), np.float32)
+
+
+# ==============================================================================
 # init (random weights; real weights come from utils/convert_encodec.py)
 # ==============================================================================
 
