@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="measure training throughput (codec tokens/s/chip, "
                          "forward+backward+ScaledAdam)")
+    ap.add_argument("--train-attn", default=None,
+                    choices=["dense", "chunked"],
+                    help="training attention mode for --train (default: "
+                         "the preset's cfg.train_attn)")
     ap.add_argument("--train-batch", type=int, default=0,
                     help="override the training bench batch size "
                          "(default: 4 for >400M models, else 16)")
@@ -185,6 +189,17 @@ def main():
         "vs_baseline": round(rtf / 1.0, 3),
     }))
 
+    if args.fp8 and not args.bf16:
+        # default run: also measure the PRODUCT headline — aggregate
+        # per-chip serving throughput at 32 lockstep lanes with the fp8 KV
+        # slab (PERF.md "serving" table) — so the driver-recorded artifact
+        # tracks the serving tier, not just single-stream latency
+        # (VERDICT r02 #6).  Printed LAST: the driver parses the final
+        # JSON line.
+        args.serve, args.kv_fp8 = 32, True
+        _bench_serving(args, cfg, params, rng,
+                       extra={"single_stream_rtf": round(rtf, 3)})
+
 
 def _bench_spec(args, cfg, params, rng):
     """Speculative single-stream decode throughput.
@@ -326,7 +341,13 @@ def _bench_train(args):
         make_train_step, make_train_step_two_phase)
     from __graft_entry__ import _synthetic_batch
 
+    import dataclasses
     cfg = PRESETS[args.preset]()
+    if args.train_attn:
+        cfg = dataclasses.replace(cfg, train_attn=args.train_attn)
+    if jax.default_backend() == "cpu" and cfg.compute_dtype == "bfloat16":
+        # CPU XLA lacks bf16xbf16->f32 dots (smoke runs only)
+        cfg = dataclasses.replace(cfg, compute_dtype="float32")
     params = init_params(cfg, jax.random.PRNGKey(0))
     tx = scaled_adam(lr=eden_schedule(0.05, 3000, 4, 500))
     opt_state = jax.jit(tx.init)(params)
@@ -348,14 +369,15 @@ def _bench_train(args):
     _ = float(np.asarray(m["loss"]))
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
-        "metric": f"train_tokens_per_sec_{args.preset}",
+        "metric": f"train_tokens_per_sec_{args.preset}"
+                  + (f"_{args.train_attn}" if args.train_attn else ""),
         "value": round(ntok / dt, 0),
         "unit": "codec_tokens/s/chip",
         "vs_baseline": 1.0,
     }))
 
 
-def _bench_serving(args, cfg, params, rng):
+def _bench_serving(args, cfg, params, rng, extra=None):
     """Aggregate throughput with N distinct-prompt lanes (serving config).
 
     With ``--spec TAU`` the lanes decode speculatively (MTP drafts + verify,
@@ -428,6 +450,7 @@ def _bench_serving(args, cfg, params, rng):
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf, 2),
+        **(extra or {}),
     }))
 
 

@@ -72,6 +72,17 @@ class Engine:
         self.tok = make_text_tokenizer(args.language, args.text_backend)
         self.kv_dtype = ("float8_e4m3fn"
                          if getattr(args, "kv_fp8", False) else None)
+        self.mesh = None
+        mesh_arg = getattr(args, "mesh", None)
+        if mesh_arg:
+            import jax
+            from voicecraft_tpu.parallel.mesh import make_mesh, shard_params
+            n_data, n_model = (int(v) for v in mesh_arg.lower().split("x"))
+            self.mesh = make_mesh(n_data, n_model)
+            self.params = shard_params(self.params, self.mesh)
+            jax.set_mesh(self.mesh)        # sticky: the server owns the process
+            log.info("serving over a (%d data x %d model) device mesh",
+                     n_data, n_model)
         self.spec = int(getattr(args, "spec", 0) or 0)
         if self.spec > 1 and "mtp_heads" not in self.params:
             log.warning("--spec %d requested but the checkpoint has no MTP "
@@ -270,11 +281,13 @@ class Engine:
         with self.lock:
             for i, target in enumerate(targets):
                 x = self._phonemize(target)
+                n_data = self.mesh.shape["data"] if self.mesh else 1
                 for chunk in stream_tts(self.params, self.cfg, x, codes,
                                         scfg, seed=seed + i,
                                         cparams=self.cparams,
                                         ccfg=ccfg, kv_dtype=self.kv_dtype,
-                                        spec=self.spec,
+                                        spec=self.spec, mesh=self.mesh,
+                                        lanes=n_data,
                                         burst=int(req.get("burst", 48))):
                     audio = chunk.get("audio")
                     if audio is not None and audio.size:
@@ -345,11 +358,19 @@ class Engine:
                         groups.setdefault(k, []).append(s)
                     for (scfg, sbs), group in groups.items():
                         if len(group) > 1 and sbs == 1:
+                            reqs_b = [(s["x"], s["codes"]) for s in group]
+                            # lane-sharded waves need B % n_data == 0; pad
+                            # the wave by repeating the last request
+                            if self.mesh is not None:
+                                nd = self.mesh.shape["data"]
+                                while len(reqs_b) % nd:
+                                    reqs_b.append(reqs_b[-1])
                             outs = serve_tts_batch(
-                                self.params, self.cfg,
-                                [(s["x"], s["codes"]) for s in group],
-                                scfg, seeds=[s["seed"] for s in group],
-                                kv_dtype=self.kv_dtype, spec=self.spec)
+                                self.params, self.cfg, reqs_b,
+                                scfg, seeds=[s["seed"] for s in group]
+                                + [0] * (len(reqs_b) - len(group)),
+                                kv_dtype=self.kv_dtype, spec=self.spec,
+                                mesh=self.mesh)
                             for s, o in zip(group, outs):
                                 s["result"] = o
                             continue
@@ -652,6 +673,10 @@ def main():
                     help="speculative decoding with TAU tokens per verified "
                          "pass (checkpoint must carry MTP heads); applies "
                          "to both lone requests and micro-batched lanes")
+    ap.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                    help="multi-chip serving: shard lanes over a data axis "
+                         "and params over a model axis, e.g. 4x2 "
+                         "(parallel/mesh.py)")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()

@@ -127,3 +127,65 @@ def test_lane_sharded_spec_serving_matches_unsharded():
     for (f1, g1), (f2, g2) in zip(base, outs):
         np.testing.assert_array_equal(g1, g2)
         np.testing.assert_array_equal(f1, f2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_lane_sharded_engine_matches_unsharded():
+    """Continuous batching under the mesh: the engine's lane state, ring
+    slab, and admission prefills shard over 'data' (ContinuousBatcher
+    (mesh=...)) and must reproduce the unsharded results — including a
+    refill wave (more requests than lanes)."""
+    from voicecraft_tpu.inference.engine import ContinuousBatcher
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(11))
+    rng = np.random.default_rng(9)
+    reqs = []
+    for b in range(6):                       # 6 requests over 4 lanes
+        x = rng.integers(0, cfg.text_vocab_size, 8 + b % 3).astype(np.int32)
+        yy = rng.integers(0, cfg.audio_vocab_size,
+                          (cfg.n_codebooks, 14 + 4 * (b % 2))).astype(np.int32)
+        reqs.append((x, yy))
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+
+    def run(mesh, prms):
+        eng = ContinuousBatcher(prms, cfg, lanes=4, x_pad=32, y_pad=64,
+                                gen_max=128, burst=16, scfg=scfg, seed=3,
+                                mesh=mesh)
+        ids = [eng.submit(x, y) for x, y in reqs]
+        res = eng.run()
+        return [res[i] for i in ids]
+
+    base = run(None, params)
+    mesh = make_mesh(4, 2)
+    with jax.set_mesh(mesh):
+        outs = run(mesh, shard_params(params, mesh))
+    for (f1, g1), (f2, g2) in zip(base, outs):
+        np.testing.assert_array_equal(g1, g2)
+        np.testing.assert_array_equal(f1, f2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_streaming_matches_unsharded():
+    """stream_tts over a lane-sharded engine: streamed frames must equal
+    the unsharded stream's, chunk for chunk."""
+    from voicecraft_tpu.inference.streaming import stream_tts
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(11))
+    rng = np.random.default_rng(10)
+    x = rng.integers(0, cfg.text_vocab_size, 10).astype(np.int32)
+    y = rng.integers(0, cfg.audio_vocab_size,
+                     (cfg.n_codebooks, 20)).astype(np.int32)
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+
+    plain = list(stream_tts(params, cfg, x, y, scfg, seed=3, burst=16))
+    mesh = make_mesh(4, 2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        meshed = list(stream_tts(sharded, cfg, x, y, scfg, seed=3, burst=16,
+                                 mesh=mesh, lanes=4))
+    np.testing.assert_array_equal(meshed[-1]["gen"], plain[-1]["gen"])
+    s1 = np.concatenate([c["frames"] for c in plain], axis=1)
+    s2 = np.concatenate([c["frames"] for c in meshed], axis=1)
+    np.testing.assert_array_equal(s1, s2)

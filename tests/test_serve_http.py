@@ -215,3 +215,74 @@ def test_tts_stream_long(server):
     assert data[:4] == b"RIFF"
     pcm = np.frombuffer(data[44:], dtype="<i2")
     assert pcm.size > 8000 and np.abs(pcm).max() > 0
+
+
+@pytest.fixture(scope="module")
+def mesh_server():
+    """serve_cli over a (4 data x 2 model) mesh on the 8-device CPU grid."""
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "serve_cli.py"),
+         "--model", "tiny_test", "--random-init",
+         "--text-backend", "grapheme", "--platform", "cpu",
+         "--mesh", "4x2",
+         "--port", str(port), "--batch-window-ms", "300"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=REPO)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for _ in range(120):
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stdout.read().decode()[-2000:])
+            try:
+                urllib.request.urlopen(base + "/healthz", timeout=2)
+                break
+            except Exception:
+                time.sleep(1)
+        else:
+            raise TimeoutError("server did not come up")
+        yield base
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=10)
+
+
+def test_mesh_tts_and_stream(mesh_server):
+    """--mesh 4x2: micro-batched /tts (lane-sharded wave, padded to the
+    data-axis multiple) and /tts_stream (lane-sharded engine) both work."""
+    b64 = _prompt_b64()
+    results = [None, None]
+
+    def run(i, text):
+        results[i] = _post(mesh_server, "/tts", {
+            "prompt_wav_b64": b64, "prompt_end_sec": 1.5,
+            "prompt_transcript": "a test prompt",
+            "target_transcript": text, "top_k": 15,
+            "silence_tokens": [5, 7]})
+
+    ths = [threading.Thread(target=run, args=(i, t))
+           for i, t in enumerate(["hello world", "another request"])]
+    [t.start() for t in ths]
+    [t.join(timeout=420) for t in ths]
+    for r in results:
+        assert r is not None and "wav_b64" in r and r["gen_sec"] > 0
+
+    req = urllib.request.Request(
+        mesh_server + "/tts_stream",
+        data=json.dumps({
+            "prompt_wav_b64": b64, "prompt_end_sec": 1.5,
+            "prompt_transcript": "a test prompt",
+            "target_transcript": "streamed hello", "top_k": 15,
+            "burst": 16, "silence_tokens": [5, 7]}).encode(),
+        method="POST")
+    reads = []
+    with urllib.request.urlopen(req, timeout=420) as r:
+        assert r.headers.get("Content-Type") == "audio/wav"
+        while True:
+            blk = r.read(65536)
+            if not blk:
+                break
+            reads.append(blk)
+    data = b"".join(reads)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    pcm = np.frombuffer(data[44:], dtype="<i2")
+    assert pcm.size > 8000 and np.abs(pcm).max() > 0

@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--val-every-n-steps", type=int, default=800)
     ap.add_argument("--n-model", type=int, default=1,
                     help="tensor-parallel size; data-parallel gets the rest")
+    ap.add_argument("--train-attn", default=None,
+                    choices=["dense", "chunked"],
+                    help="training attention: 'dense' materialises the "
+                         "[B,H,S,S] bias (reference-like), 'chunked' uses "
+                         "the differentiable chunked attention (no "
+                         "materialised probs -> bigger batches; parity incl. "
+                         "gradients in tests/test_flash_attention.py)")
     ap.add_argument("--n-mtp", type=int, default=0,
                     help="train N multi-token-prediction head groups "
                          "(speculative decoding drafts; auxiliary loss only)")
@@ -67,6 +74,8 @@ def main():
                                    codebook_weight=tuple(args.codebook_weight))
     if args.n_mtp:
         mcfg = dataclasses.replace(mcfg, n_mtp=args.n_mtp)
+    if args.train_attn:
+        mcfg = dataclasses.replace(mcfg, train_attn=args.train_attn)
     tcfg = TrainConfig(
         exp_dir=args.exp_dir, dataset_dir=args.dataset_dir,
         optimizer_name=args.optimizer, lr=args.lr, num_steps=args.num_steps,

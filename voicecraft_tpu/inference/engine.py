@@ -606,6 +606,12 @@ class ContinuousBatcher:
     spec: int = 0
     # bench only: simulated 100% draft acceptance (throughput ceiling)
     spec_force_accept: bool = False
+    # multi-chip scale-out: a Mesh with a 'data' axis shards lanes (and the
+    # KV slab's batch dim) across chips — every per-lane op stays local and
+    # only the burst's tiny status/all-done reductions cross chips; params
+    # may additionally be tensor-parallel over 'model' (parallel/mesh.py).
+    # lanes must be divisible by the data axis size.
+    mesh: Any = None
 
     def __post_init__(self):
         cfg = self.cfg
@@ -644,6 +650,19 @@ class ContinuousBatcher:
                                    self.seed)
         self._gen_buf = jnp.zeros(
             (self.lanes, self.gen_max + max(self.spec, 0), K), jnp.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert self.lanes % self.mesh.shape["data"] == 0, \
+                (self.lanes, dict(self.mesh.shape))
+            ns = lambda spec: NamedSharding(self.mesh, spec)
+            # cache [L, 2, B, S, H, Dh]: batch dim is axis 2
+            self._cache = jax.device_put(self._cache, ns(P(None, None,
+                                                           "data")))
+            self._gen_buf = jax.device_put(self._gen_buf, ns(P("data")))
+            repl = {"rng", "gstep"}     # the only non-[B]-leading fields
+            self._lanes = LaneState(**{
+                f: jax.device_put(v, ns(P()) if f in repl else ns(P("data")))
+                for f, v in self._lanes._asdict().items()})
         self._queue: List[Tuple[int, np.ndarray, np.ndarray]] = []
         self._lane_req: List[Optional[int]] = [None] * self.lanes
         self._req_y: Dict[int, np.ndarray] = {}

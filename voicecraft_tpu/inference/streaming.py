@@ -90,7 +90,8 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
                cparams=None, ccfg: Optional[ec.EncodecConfig] = None,
                burst: int = 48, gen_max: Optional[int] = None,
                kv_dtype: Optional[str] = None,
-               spec: int = 0) -> Iterator[dict]:
+               spec: int = 0, mesh=None,
+               lanes: int = 1) -> Iterator[dict]:
     """Generator of streaming TTS chunks for one request.
 
     Yields dicts with ``frames`` ([K, m] newly settled generated codec
@@ -98,6 +99,11 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
     exact prefix of the final waveform).  The last chunk additionally
     carries ``full``/``gen`` with inference_tts output semantics; the
     streamed frames concatenate to exactly ``gen``.
+
+    ``mesh``: shard the engine's lanes over the mesh's 'data' axis
+    (ContinuousBatcher(mesh=...)); ``lanes`` must then be a multiple of the
+    data-axis size (a single stream rides lane 0, the sharded geometry is
+    for serving tiers that multiplex streams).
     """
     K = cfg.n_codebooks
     x_tokens = np.asarray(x_tokens, np.int32)
@@ -109,11 +115,11 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
     gen_max = _ceil(gen_max, 128)
 
     eng = ContinuousBatcher(
-        params, cfg, lanes=1,
+        params, cfg, lanes=lanes,
         x_pad=_ceil(len(x_tokens), 32),
         y_pad=_ceil(prefix_len, 64),
         gen_max=gen_max, burst=burst, scfg=scfg, seed=seed,
-        kv_dtype=kv_dtype, spec=spec)
+        kv_dtype=kv_dtype, spec=spec, mesh=mesh)
 
     q: "queue.Queue" = queue.Queue()
     sent = {"n": 0}
