@@ -1,0 +1,41 @@
+#!/bin/bash
+# In-env measurement of REAL speculative-decoding acceptance (VERDICT r02
+# #1): procedural corpus -> preprocess -> pretrain proc50M (+7 MTP head
+# groups, so tau<=8) -> measure held-out tokens/pass + wall-clock speedup
+# across single-stream, lockstep serving, and the continuous-batching
+# engine (spec_acceptance_cli.py).  Results land in PERF.md's "Measured
+# speculative acceptance" table.
+#
+# On the TPU this takes ~1-2 h (dominated by training).  Overridables:
+#   WORK=...         work dir           (default /tmp/voicecraft_spec_accept)
+#   STEPS=...        training steps     (default 6000)
+#   PRESET=...       model preset       (default proc50M)
+#   N_TRAIN/N_EVAL   corpus sizes       (default 1800/64)
+set -e
+cd "$(dirname "$0")/.."
+WORK=${WORK:-/tmp/voicecraft_spec_accept}
+STEPS=${STEPS:-6000}
+PRESET=${PRESET:-proc50M}
+N_TRAIN=${N_TRAIN:-1800}
+N_EVAL=${N_EVAL:-64}
+MTP=${MTP:-7}
+PLATFORM_FLAG=${PLATFORM:+--platform $PLATFORM}
+
+mkdir -p "$WORK"
+test -f "$WORK/corpus/train/train00000.wav" || \
+  python recipes/make_spec_corpus.py "$WORK/corpus" --train "$N_TRAIN" --eval "$N_EVAL"
+
+test -d "$WORK/data/train" || \
+  python preprocess_cli.py --audio-dir "$WORK/corpus/train" \
+    --out-dir "$WORK/data" --random-init --codec-bins 2048 \
+    --text-backend grapheme $PLATFORM_FLAG
+
+python train_cli.py --preset "$PRESET" --exp-dir "$WORK/exp" \
+  --dataset-dir "$WORK/data" --num-steps "$STEPS" \
+  --max-num-tokens "${TOKENS:-12000}" --num-buckets 4 \
+  --n-mtp "$MTP" --val-every-n-steps 1000 $PLATFORM_FLAG
+
+python spec_acceptance_cli.py --model "$WORK/exp/ckpt_latest" \
+  --eval-dir "$WORK/corpus/eval" --codec-bins 2048 \
+  --taus 2 4 8 --n "${N_SINGLE:-12}" --lanes "${LANES:-8}" $PLATFORM_FLAG \
+  | tee "$WORK/acceptance.json"

@@ -1,0 +1,215 @@
+"""Measure REAL speculative-decoding acceptance on held-out data.
+
+Round-2 PERF numbers for speculative decoding were 100%-acceptance
+ceilings; the only trained-acceptance evidence was a memorised tiny model.
+This CLI closes that gap in-env (VERDICT r02 #1): given a checkpoint
+pretrained (with MTP heads) on the procedural corpus
+(recipes/make_spec_corpus.py -> preprocess_cli -> train_cli --n-mtp), it
+runs HELD-OUT prompts through
+
+  1. single-stream speculative TTS (inference_tts_spec) — exact
+     tokens/pass from the loop's pass counter, plus wall-clock speedup vs
+     the plain decode loop on the same prompts;
+  2. speculative lockstep serving (make_spec_serving_loop) — per-lane
+     tok/pass across N distinct held-out prompts;
+  3. the speculative continuous-batching engine (ContinuousBatcher
+     (spec=TAU)) — aggregate frames per device pass (gstep clock).
+
+Greedy decoding (temperature<=0): speculative output is bit-identical to
+the plain loop, so acceptance is purely a property of the trained heads on
+unseen prompts.  Run with --platform left unset on the TPU for wall-clock
+numbers; tok/pass is hardware-independent.
+
+Usage (see recipes/spec_acceptance.sh for the full pipeline):
+  python spec_acceptance_cli.py --model EXP/ckpt_latest \\
+      --eval-dir CORPUS/eval --codec-bins 2048 --taus 2 4 8 --n 16
+"""
+
+import argparse
+import glob
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def load_eval_items(eval_dir, cparams, ccfg, tok, phn2num, n, prompt_sec):
+    from voicecraft_tpu.models import encodec as ec
+    from voicecraft_tpu.data.phonemes import phones_to_ids
+    from voicecraft_tpu.utils import audio as au
+
+    items = []
+    for wav_path in sorted(glob.glob(os.path.join(eval_dir, "*.wav")))[:n]:
+        text = open(wav_path[:-4] + ".txt").read().strip()
+        wav = au.load_audio(wav_path, ccfg.sample_rate)
+        codes = ec.encode_bucketed(cparams, wav, ccfg)[0]
+        x = np.asarray(phones_to_ids(tok.phonemize(text), phn2num), np.int32)
+        prompt = codes[:, :int(prompt_sec * ccfg.frame_rate)]
+        items.append({"x": x, "prompt": prompt.astype(np.int32),
+                      "codes": codes, "id": os.path.basename(wav_path)})
+    return items
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--eval-dir", required=True)
+    ap.add_argument("--codec", default=None)
+    ap.add_argument("--codec-bins", type=int, default=None,
+                    help="random-init codec codebook size (must match the "
+                         "preprocessing run)")
+    ap.add_argument("--taus", type=int, nargs="*", default=[2, 4, 8])
+    ap.add_argument("--n", type=int, default=16,
+                    help="held-out utterances for the single-stream pass")
+    ap.add_argument("--lanes", type=int, default=8,
+                    help="serving/engine lanes")
+    ap.add_argument("--prompt-sec", type=float, default=2.0)
+    ap.add_argument("--skip-engine", action="store_true")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    from voicecraft_tpu.utils.jax_setup import setup as _jax_setup
+    _jax_setup(args.platform)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    from voicecraft_tpu.inference.loader import load_model, load_codec
+    from voicecraft_tpu.inference.tts import inference_tts, inference_tts_spec
+    from voicecraft_tpu.data.phonemes import make_text_tokenizer
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+
+    cfg, params, phn2num = load_model(args.model)
+    assert phn2num is not None, "checkpoint carries no phn2num vocab"
+    n_mtp = (jax.tree.leaves(params["mtp_heads"])[0].shape[0]
+             if "mtp_heads" in params else 0)
+    assert n_mtp > 0, "checkpoint has no MTP heads (train_cli --n-mtp)"
+
+    if args.codec is None and args.codec_bins:
+        from voicecraft_tpu.models.encodec import EncodecConfig, init_encodec
+        ccfg = EncodecConfig(codebook_size=args.codec_bins)
+        cparams = init_encodec(ccfg, jax.random.PRNGKey(0))
+    else:
+        ccfg, cparams = load_codec(args.codec)
+    tok = make_text_tokenizer("en-us", "grapheme")
+
+    items = load_eval_items(args.eval_dir, cparams, ccfg, tok, phn2num,
+                            max(args.n, args.lanes * 2), args.prompt_sec)
+    logging.info("loaded %d held-out items", len(items))
+    scfg = SamplingConfig(top_k=0, top_p=1.0, temperature=0.0,
+                          stop_repetition=3)
+    results = {"n_mtp": n_mtp, "single": {}, "serving": {}, "engine": {}}
+
+    # ---- plain single-stream reference (wall-clock + token lengths) ----
+    def run_single_plain():
+        t0 = time.perf_counter()
+        toks = 0
+        for it in items[:args.n]:
+            _, gen = inference_tts(params, cfg, it["x"], it["prompt"], scfg,
+                                   seed=1)
+            toks += gen.shape[1] + cfg.n_codebooks  # delayed rows incl. eog
+        return toks, time.perf_counter() - t0
+
+    run_single_plain()                        # compile
+    plain_toks, plain_dt = run_single_plain()
+    results["single"]["plain_tokens_per_sec"] = plain_toks / plain_dt
+    logging.info("plain single-stream: %d rows in %.2fs", plain_toks,
+                 plain_dt)
+
+    for tau in args.taus:
+        if tau - 1 > n_mtp:
+            logging.info("skipping tau=%d (> n_mtp+1)", tau)
+            continue
+
+        # ---- single-stream ----
+        def run_single_spec():
+            t0 = time.perf_counter()
+            toks = passes = 0
+            for it in items[:args.n]:
+                _, _, st = inference_tts_spec(
+                    params, cfg, it["x"], it["prompt"], scfg, n_draft=tau,
+                    seed=1, return_stats=True)
+                toks += st["tokens"]
+                passes += st["passes"]
+            return toks, passes, time.perf_counter() - t0
+
+        run_single_spec()                     # compile
+        toks, passes, dt = run_single_spec()
+        results["single"][tau] = {
+            "tokens_per_pass": toks / max(passes, 1),
+            "tokens_per_sec": toks / dt,
+            "speedup_vs_plain": (toks / dt) / results["single"][
+                "plain_tokens_per_sec"],
+        }
+        logging.info("single tau=%d: %.2f tok/pass, %.0f tok/s (%.2fx plain)",
+                     tau, toks / max(passes, 1), toks / dt,
+                     results["single"][tau]["speedup_vs_plain"])
+
+        # ---- lockstep spec serving ----
+        from voicecraft_tpu.inference.serving import serve_tts_batch
+        from voicecraft_tpu.inference.serving import _get_spec_serving_loop
+        from voicecraft_tpu.data import spans as _spans
+        B = args.lanes
+        reqs = [(it["x"], it["prompt"]) for it in items[:B]]
+        prefixes = [_spans.compose_tts_prefix(y, cfg) for _, y in reqs]
+        x_lens = np.asarray([len(x) for x, _ in reqs], np.int32)
+        p_lens = np.asarray([p.length for p in prefixes], np.int32)
+        cap = cfg.encodec_sr // 5
+        x_pad = int(np.ceil(x_lens.max() / 32) * 32)
+        y_pad = int(np.ceil(p_lens.max() / 64) * 64)
+        gen_max = int(np.ceil(((x_lens * cap - p_lens).max() + 12) / 128)
+                      * 128)
+        xt = np.full((B, x_pad), cfg.text_pad_token, np.int32)
+        yt = np.full((B, cfg.n_codebooks, y_pad), cfg.empty_token, np.int32)
+        for b, ((x, _), p) in enumerate(zip(reqs, prefixes)):
+            xt[b, :len(x)] = x
+            yt[b, :, :p.length] = p.tokens
+        loop = _get_spec_serving_loop(cfg, B, tau, x_pad, y_pad, gen_max,
+                                      scfg, None)
+        import jax.numpy as jnp
+        a = (params, jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
+             jnp.asarray(p_lens), jnp.ones((B,), jnp.int32))
+        out = loop(*a)                        # compile
+        t0 = time.perf_counter()
+        out = loop(*a)
+        t_acc = np.asarray(out[1])
+        dt = time.perf_counter() - t0
+        n_passes = int(out[2])
+        results["serving"][tau] = {
+            "tokens_per_pass_per_lane": float(t_acc.sum())
+                                        / max(n_passes, 1) / B,
+            "frames_per_sec": float(t_acc.sum()) / dt,
+        }
+        logging.info(
+            "serving tau=%d B=%d: %.2f tok/pass/lane, %.0f frames/s",
+            tau, B, results["serving"][tau]["tokens_per_pass_per_lane"],
+            results["serving"][tau]["frames_per_sec"])
+
+        # ---- speculative continuous-batching engine ----
+        if not args.skip_engine:
+            from voicecraft_tpu.inference.engine import ContinuousBatcher
+            ereqs = [(it["x"], it["prompt"]) for it in items[:2 * B]]
+            eng = ContinuousBatcher(
+                params, cfg, lanes=B, x_pad=x_pad, y_pad=y_pad,
+                gen_max=gen_max, burst=4 * tau, scfg=scfg, seed=1, spec=tau)
+            for x, y in ereqs:
+                eng.submit(x, y)
+            g0 = int(np.asarray(eng._lanes.gstep))
+            t0 = time.perf_counter()
+            res = eng.run()
+            dt = time.perf_counter() - t0
+            frames = sum(g.shape[1] for _, g in res.values())
+            gsteps = int(np.asarray(eng._lanes.gstep)) - g0
+            results["engine"][tau] = {
+                "frames_per_pass": frames / max(gsteps, 1),
+                "frames_per_sec": frames / dt,
+            }
+            logging.info("engine tau=%d: %.2f frames/device-pass "
+                         "(occupancy-inclusive), %.0f frames/s",
+                         tau, frames / max(gsteps, 1), frames / dt)
+
+    print(json.dumps(results, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,8 +12,11 @@ dependency here; instead this module provides, in order of quality:
   2. ``energy_align`` — a dependency-free energy/VAD aligner: voiced
      segments from adaptive log-energy thresholding, words distributed over
      voiced time proportionally to their phone counts (the classic
-     proportional-duration aligner; aeneas-like quality for clean speech
-     without needing a TTS voice).
+     proportional-duration aligner; aeneas-like in mechanism).  Measured
+     on clean procedural speech with exact ground-truth boundaries
+     (tests/test_align_characterization.py): word-boundary error median
+     35 ms / p90 97 ms / p99 139 ms — inside edit_cli's default 80 ms
+     span margins at the median.
 
 Both return MFA-shaped rows [{"Label", "Begin", "End", "Type": "words"}],
 the schema ``inference/editing.py:get_mask_interval`` consumes, so every

@@ -278,9 +278,26 @@ def tiny_test() -> ModelConfig:
     )
 
 
+def proc50M() -> ModelConfig:
+    """~50M-param small-but-real model for the in-env speculative-acceptance
+    measurement: pretrained on the procedural corpus
+    (recipes/make_spec_corpus.py) with MTP heads, evaluated on held-out
+    prompts (spec_acceptance_cli.py).  Same token layout as the giga
+    family."""
+    return ModelConfig(
+        d_model=512,
+        audio_embedding_dim=512,
+        nhead=8,
+        num_decoder_layers=8,
+        text_vocab_size=120,
+        text_pad_token=120,
+    )
+
+
 PRESETS = {
     "giga330M": giga330M,
     "giga830M": giga830M,
     "giga830M_TTSEnhanced": giga830M_tts_enhanced,
     "tiny_test": tiny_test,
+    "proc50M": proc50M,
 }

@@ -134,10 +134,21 @@ def flash_prefix_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       x_lens: jnp.ndarray, y_lens: jnp.ndarray,
                       x_pad: int, nhead: int,
-                      chunk: int = 512) -> jnp.ndarray:
-    """Online-softmax attention via lax.scan over key chunks with a
-    rematerialised body — O(S * chunk) live memory instead of O(S^2), fully
-    differentiable.  Same masking semantics as flash_prefix_attention."""
+                      chunk: int = 256) -> jnp.ndarray:
+    """Memory-efficient differentiable attention: lax.scan over QUERY
+    chunks with a rematerialised body (Rabe & Staats style).  Live memory
+    is one [B, chunk, H, S] logits block; scan residuals are only each
+    chunk's [B, chunk, H, Dh] inputs/outputs (the logits are recomputed in
+    the backward), so total saved state is O(B*S*H*Dh) — vs the dense
+    path's per-layer [B, H, S, S] probs.
+
+    NOTE an earlier version scanned over KEY chunks with the online-softmax
+    (m, l, acc) as the scan carry; that is fine forward, but scan's
+    backward stores the f32 [B,S,H,Dh] carry per step — ~8 GB at 830M
+    training shapes, i.e. strictly WORSE than dense.  Query chunking keeps
+    the recompute-not-store property under autodiff.
+
+    Same masking semantics as flash_prefix_attention."""
     B, S, D = q.shape
     H = nhead
     Dh = D // H
@@ -146,40 +157,31 @@ def chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         c //= 2
     n_chunks = S // c
 
-    qh = q.reshape(B, S, H, Dh).astype(jnp.float32)
+    qh = q.reshape(B, S, H, Dh)
     kh = k.reshape(B, S, H, Dh)
     vh = v.reshape(B, S, H, Dh)
     scale = 1.0 / math.sqrt(Dh)
-    q_pos = jnp.arange(S)[None, :, None, None]          # [1,S,1,1]
+    k_pos = jnp.arange(S)[None, None, None, :]          # [1,1,1,S]
+    valid = ((k_pos < x_lens[:, None, None, None])
+             | ((k_pos >= x_pad)
+                & (k_pos < x_pad + y_lens[:, None, None, None])))  # [B,1,1,S]
 
-    kc = kh.reshape(B, n_chunks, c, H, Dh).transpose(1, 0, 2, 3, 4)
-    vc_ = vh.reshape(B, n_chunks, c, H, Dh).transpose(1, 0, 2, 3, 4)
+    qc = qh.reshape(B, n_chunks, c, H, Dh).transpose(1, 0, 2, 3, 4)
 
     @jax.checkpoint
     def body(carry, inp):
-        m_prev, l_prev, acc = carry
-        jb, k_blk, v_blk = inp
-        logits = jnp.einsum("bqhd,bkhd->bqhk", qh, k_blk.astype(jnp.float32),
-                            preferred_element_type=jnp.float32) * scale
-        k_pos = jb * c + jnp.arange(c)[None, None, None, :]
-        valid = ((k_pos < x_lens[:, None, None, None])
-                 | ((k_pos >= x_pad)
-                    & (k_pos < x_pad + y_lens[:, None, None, None])))
-        mask = (k_pos <= q_pos) & valid
+        iq, q_blk = inp
+        logits = jnp.einsum(
+            "bqhd,bkhd->bqhk", q_blk.astype(jnp.float32),
+            kh.astype(jnp.float32),
+            preferred_element_type=jnp.float32) * scale  # [B,c,H,S]
+        q_pos = iq * c + jnp.arange(c)[None, :, None, None]
+        mask = (k_pos <= q_pos) & valid                  # [B,c,1,S]
         logits = jnp.where(mask, logits, NEG_INF)
-        m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(logits - m_cur)
-        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.einsum(
-            "bqhk,bkhd->bqhd", p, v_blk.astype(jnp.float32),
-            preferred_element_type=jnp.float32)
-        return (m_cur, l_cur, acc), None
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bqhk,bkhd->bqhd", p, vh.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return carry, out.astype(q.dtype)
 
-    m0 = jnp.full((B, S, H, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((B, S, H, 1), jnp.float32)
-    a0 = jnp.zeros((B, S, H, Dh), jnp.float32)
-    (m, l, acc), _ = jax.lax.scan(
-        body, (m0, l0, a0), (jnp.arange(n_chunks), kc, vc_))
-    out = acc / jnp.maximum(l, 1e-20)
-    return out.reshape(B, S, D).astype(q.dtype)
+    _, outs = jax.lax.scan(body, None, (jnp.arange(n_chunks), qc))
+    return outs.transpose(1, 0, 2, 3, 4).reshape(B, S, D)
