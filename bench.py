@@ -79,6 +79,11 @@ def main():
                          "at 4 and WORSE at 8 — see PERF.md negative "
                          "results; the while_loop has no per-iteration "
                          "host cost to amortise)")
+    ap.add_argument("--steady", action="store_true",
+                    help="with --engine: steady-state variant — 8x LANES "
+                         "uniform-length requests so ramp-up/down is "
+                         "amortised and the queue never starves; isolates "
+                         "the occupancy loss from the per-step residual")
     ap.add_argument("--stream", action="store_true",
                     help="measure streaming TTS first-audio latency "
                          "(inference/streaming.py over the engine, burst "
@@ -468,15 +473,22 @@ def _bench_engine(args, cfg, params, rng):
 
     lanes = args.engine
     K = cfg.n_codebooks
-    n_req = 2 * lanes
+    # --steady: a long uniform-length stream (8 waves) so the finite
+    # benchmark's ramp-down is amortised and the queue never starves —
+    # isolates true steady-state throughput from wave-tail occupancy loss
+    # (VERDICT r02 #7)
+    n_req = (8 if args.steady else 2) * lanes
     scfg = SamplingConfig(top_k=40, stop_repetition=3)
     # target generated lengths between 60% and 100% of --frames via the
-    # x_len * (encodec_sr//5) cap (sampled eog is rare at random init)
+    # x_len * (encodec_sr//5) cap (sampled eog is rare at random init);
+    # uniform at 100% with --steady
     cap_mult = cfg.encodec_sr // 5
     reqs = []
     total_target = 0
     for i in range(n_req):
-        target = int(args.frames * (0.6 + 0.4 * (i % lanes) / max(lanes - 1, 1)))
+        frac = 1.0 if args.steady else (
+            0.6 + 0.4 * (i % lanes) / max(lanes - 1, 1))
+        target = int(args.frames * frac)
         x_len = (target + args.prompt_frames) // cap_mult + 1
         x = rng.integers(0, cfg.text_vocab_size, x_len).astype(np.int32)
         y = rng.integers(0, cfg.audio_vocab_size,
@@ -520,6 +532,8 @@ def _bench_engine(args, cfg, params, rng):
           f"{frames / (per_iter * lanes) * 100:.0f}%", file=sys.stderr)
     suffix = ("" if args.spec <= 1 else
               f"_spec{args.spec}" + ("_ceiling" if args.spec_accept else ""))
+    if args.steady:
+        suffix += "_steady"
     print(json.dumps({
         "metric": f"tts_engine_rtf_830m_l{lanes}{suffix}",
         "value": round(rtf, 2),

@@ -19,6 +19,7 @@ PRESET=${PRESET:-proc50M}
 N_TRAIN=${N_TRAIN:-1800}
 N_EVAL=${N_EVAL:-64}
 MTP=${MTP:-7}
+BINS=${BINS:-2048}
 PLATFORM_FLAG=${PLATFORM:+--platform $PLATFORM}
 
 mkdir -p "$WORK"
@@ -27,7 +28,7 @@ test -f "$WORK/corpus/train/train00000.wav" || \
 
 test -d "$WORK/data/train" || \
   python preprocess_cli.py --audio-dir "$WORK/corpus/train" \
-    --out-dir "$WORK/data" --random-init --codec-bins 2048 \
+    --out-dir "$WORK/data" --random-init --codec-bins "$BINS" \
     --text-backend grapheme $PLATFORM_FLAG
 
 python train_cli.py --preset "$PRESET" --exp-dir "$WORK/exp" \
@@ -36,6 +37,6 @@ python train_cli.py --preset "$PRESET" --exp-dir "$WORK/exp" \
   --n-mtp "$MTP" --val-every-n-steps 1000 $PLATFORM_FLAG
 
 python spec_acceptance_cli.py --model "$WORK/exp/ckpt_latest" \
-  --eval-dir "$WORK/corpus/eval" --codec-bins 2048 \
+  --eval-dir "$WORK/corpus/eval" --codec-bins "$BINS" \
   --taus 2 4 8 --n "${N_SINGLE:-12}" --lanes "${LANES:-8}" $PLATFORM_FLAG \
   | tee "$WORK/acceptance.json"

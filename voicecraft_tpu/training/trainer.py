@@ -265,11 +265,16 @@ class Trainer:
         q: "_q.Queue" = _q.Queue(maxsize=depth)
 
         def producer():
-            for bi in range(start_b, len(batches)):
-                rng_host = self._host_rng(epoch, bi)
-                q.put((bi, collate_train(self.train_ds, batches[bi],
-                                         rng_host)))
-            q.put(None)
+            try:
+                for bi in range(start_b, len(batches)):
+                    rng_host = self._host_rng(epoch, bi)
+                    q.put((bi, collate_train(self.train_ds, batches[bi],
+                                             rng_host)))
+                q.put(None)
+            except BaseException as e:      # noqa: BLE001
+                # a dead producer must NOT leave the consumer blocked on
+                # q.get() forever — surface the failure on the main thread
+                q.put(("__error__", e))
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -277,6 +282,10 @@ class Trainer:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] == "__error__":
+                raise RuntimeError("data producer thread failed") \
+                    from item[1]
             yield item
 
     def train(self, max_steps: Optional[int] = None):
