@@ -19,4 +19,7 @@ python train_cli.py \
   --drop-long 1 \
   --codebook-weight 5 1 0.5 0.1 \
   --val-every-n-steps 800 \
+  --train-attn chunked \
   --seed 1 --tb
+# --train-attn chunked: +16% tokens/s and a higher batch ceiling on v5e
+# (PERF.md training sweep); drop it for bit-exact dense reference numerics
