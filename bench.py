@@ -62,6 +62,11 @@ def main():
                          "(TAU-1 MTP drafts).  Random-init MTP heads accept "
                          "~nothing, so this measures the verified-pass rate; "
                          "add --spec-accept for the 100%%-acceptance ceiling")
+    ap.add_argument("--spec-sampling", default="exact",
+                    choices=["exact", "stochastic"],
+                    help="speculative verification mode for --spec "
+                         "(stochastic = speculative sampling; incompatible "
+                         "with --spec-accept ceilings)")
     ap.add_argument("--spec-accept", action="store_true",
                     help="force-accept all drafts (throughput ceiling: real "
                          "per-pass cost, simulated perfect acceptance)")
@@ -90,6 +95,8 @@ def main():
                          "from --burst) and steady-state chunk cadence")
     args = ap.parse_args()
     args.fp8 = not args.bf16
+    if args.spec_accept:
+        args.spec_sampling = "exact"   # ceilings use exact verification
 
     if args.train:
         _bench_train(args)
@@ -143,7 +150,8 @@ def main():
     y_pad = ceil(prefix.length, 64)
     gen_max = args.frames
     scfg = SamplingConfig(top_k=40, top_p=1.0, temperature=1.0,
-                          stop_repetition=3)
+                          stop_repetition=3,
+                          spec_sampling=args.spec_sampling)
 
     loop = make_decode_loop(cfg, is_tts=True, x_pad=x_pad, y_pad=y_pad,
                             gen_max=gen_max, scfg=scfg, bench_mode=True,
@@ -236,7 +244,8 @@ def _bench_spec(args, cfg, params, rng):
     y_pad = ceil(prefix.length, 64)
     gen_max = args.frames
     scfg = SamplingConfig(top_k=40, top_p=1.0, temperature=1.0,
-                          stop_repetition=3)
+                          stop_repetition=3,
+                          spec_sampling=args.spec_sampling)
     loop = make_spec_decode_loop(
         cfg, x_pad=x_pad, y_pad=y_pad, gen_max=gen_max, scfg=scfg,
         n_draft=tau, bench_mode=True, force_accept=args.spec_accept,
@@ -302,7 +311,8 @@ def _bench_stream(args, cfg, params, rng):
     prompt = rng.integers(0, cfg.audio_vocab_size,
                           (K, args.prompt_frames)).astype(np.int32)
     scfg = SamplingConfig(top_k=40, top_p=1.0, temperature=1.0,
-                          stop_repetition=3)
+                          stop_repetition=3,
+                          spec_sampling=args.spec_sampling)
 
     def run():
         t0 = time.perf_counter()
@@ -400,7 +410,8 @@ def _bench_serving(args, cfg, params, rng, extra=None):
     K = cfg.n_codebooks
     tau = args.spec
     x_pad, y_pad, gen_max = 128, 192, args.frames
-    scfg = SamplingConfig(top_k=40, stop_repetition=3)
+    scfg = SamplingConfig(top_k=40, stop_repetition=3,
+                          spec_sampling=args.spec_sampling)
     xt = rng.integers(0, cfg.text_vocab_size, (B, x_pad)).astype(np.int32)
     x_lens = np.full((B,), x_pad, np.int32)
     yt = np.full((B, K, y_pad), cfg.empty_token, np.int32)
@@ -478,7 +489,8 @@ def _bench_engine(args, cfg, params, rng):
     # isolates true steady-state throughput from wave-tail occupancy loss
     # (VERDICT r02 #7)
     n_req = (8 if args.steady else 2) * lanes
-    scfg = SamplingConfig(top_k=40, stop_repetition=3)
+    scfg = SamplingConfig(top_k=40, stop_repetition=3,
+                          spec_sampling=args.spec_sampling)
     # target generated lengths between 60% and 100% of --frames via the
     # x_len * (encodec_sr//5) cap (sampled eog is rare at random init);
     # uniform at 100% with --steady

@@ -134,7 +134,11 @@ class Engine:
             top_p=float(req.get("top_p", 1.0)),
             temperature=float(req.get("temperature", 1.0)),
             stop_repetition=int(req.get("stop_repetition", 3)),
-            silence_tokens=tuple(req.get("silence_tokens", (1388, 1898, 131))))
+            silence_tokens=tuple(req.get("silence_tokens",
+                                         (1388, 1898, 131))),
+            spec_sampling=req.get(
+                "spec_sampling",
+                getattr(self.args, "spec_sampling", "exact")))
 
     def _words_info(self, req, wav, transcript):
         """Whisper-style words_info for the prompt: request-supplied
@@ -677,6 +681,10 @@ def main():
                     help="multi-chip serving: shard lanes over a data axis "
                          "and params over a model axis, e.g. 4x2 "
                          "(parallel/mesh.py)")
+    ap.add_argument("--spec-sampling", default="exact",
+                    choices=["exact", "stochastic"],
+                    help="default speculative verification mode (requests "
+                         "can override via the spec_sampling field)")
     ap.add_argument("--random-init", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()

@@ -1,0 +1,166 @@
+"""Stochastic speculative SAMPLING (spec_sampling="stochastic").
+
+The core contract is distribution-exactness: the per-row rejection step
+must emit tokens distributed exactly as the plain loop's sampling
+distribution p, whatever the draft distribution q proposes.  The unit
+test below verifies that empirically on the verify core itself; the e2e
+tests cover acceptance on a memorised model (q ~= p -> high acceptance
+under temperature sampling, where exact-match verify would reject) and
+machinery integration across single-stream / serving / engine.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voicecraft_tpu.config import tiny_test
+from voicecraft_tpu.models import voicecraft as vc
+from voicecraft_tpu.models.voicecraft import SamplingConfig
+from voicecraft_tpu.inference.spec_common import (stochastic_row_verify,
+                                                  _filtered,
+                                                  use_stochastic_verify)
+from voicecraft_tpu.inference.tts import inference_tts, inference_tts_spec
+
+from tests.test_spec_decode import memorised  # noqa: F401  (pytest fixture)
+
+
+def test_row_verify_preserves_target_distribution():
+    """Emitted raw tokens ~ p exactly, for drafts from a DIFFERENT q."""
+    K, card = 2, 12
+    rng = np.random.default_rng(0)
+    la = jnp.asarray(rng.normal(0, 1.5, (K, card)).astype(np.float32))
+    dlg = jnp.asarray(rng.normal(0, 1.5, (K, card)).astype(np.float32))
+    scfg = SamplingConfig(top_k=0, top_p=1.0, temperature=1.0,
+                          spec_sampling="stochastic")
+    p = np.asarray(jax.nn.softmax(_filtered(scfg, la), axis=-1))
+    overridden = jnp.zeros((K,), bool)
+
+    n = 40000
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+
+    def one(key):
+        kd, kv = jax.random.split(key)
+        d_tok = jax.random.categorical(
+            kd, _filtered(scfg, dlg), axis=-1).astype(jnp.int32)
+        raw, ok = stochastic_row_verify(kv, la, dlg, d_tok, overridden,
+                                        scfg)
+        return raw, ok
+
+    raws, oks = jax.jit(jax.vmap(one))(keys)
+    raws = np.asarray(raws)
+    for k in range(K):
+        freq = np.bincount(raws[:, k], minlength=card) / n
+        tv = 0.5 * np.abs(freq - p[k]).sum()
+        assert tv < 0.02, (k, tv, freq, p[k])
+    # sanity: acceptance is the p/q overlap, strictly between 0 and 1 here
+    acc = float(np.asarray(oks).mean())
+    assert 0.05 < acc < 0.95, acc
+
+
+def test_row_verify_overridden_rows_always_accept():
+    K, card = 3, 8
+    rng = np.random.default_rng(2)
+    la = jnp.asarray(rng.normal(0, 1, (K, card)).astype(np.float32))
+    dlg = jnp.asarray(rng.normal(0, 1, (K, card)).astype(np.float32))
+    scfg = SamplingConfig(top_k=0, top_p=1.0, temperature=1.0,
+                          spec_sampling="stochastic")
+    overridden = jnp.asarray([False, True, True])
+    keys = jax.random.split(jax.random.PRNGKey(3), 2000)
+
+    def one(key):
+        # adversarial draft: a token p assigns little mass to
+        d_tok = jnp.argmin(la, axis=-1).astype(jnp.int32)
+        return stochastic_row_verify(key, la, dlg, d_tok, overridden, scfg)
+
+    raws, oks = jax.jit(jax.vmap(one))(keys)
+    raws = np.asarray(raws)
+    # slot acceptance is decided ONLY by the non-overridden row:
+    # P(accept) = min(1, p(d)/q(d)) exactly
+    accept_rate = float(np.asarray(oks).mean())
+    p = np.asarray(jax.nn.softmax(_filtered(scfg, la), -1))
+    q = np.asarray(jax.nn.softmax(_filtered(scfg, dlg), -1))
+    d0 = int(np.argmin(np.asarray(la)[0]))
+    expected = min(1.0, p[0, d0] / q[0, d0])
+    assert abs(accept_rate - expected) < 0.04, (accept_rate, expected)
+    # overridden rows emit fresh p-draws regardless of the draft
+    for k in (1, 2):
+        freq = np.bincount(raws[:, k], minlength=p.shape[1]) / raws.shape[0]
+        assert 0.5 * np.abs(freq - p[k]).sum() < 0.04, k
+
+
+def test_use_stochastic_verify_gating():
+    g = SamplingConfig(temperature=0.0, spec_sampling="stochastic")
+    s = SamplingConfig(temperature=1.0, spec_sampling="stochastic")
+    e = SamplingConfig(temperature=1.0, spec_sampling="exact")
+    assert not use_stochastic_verify(g, 4)      # greedy -> exact path
+    assert not use_stochastic_verify(s, 1)      # no drafts
+    assert not use_stochastic_verify(e, 4)
+    assert use_stochastic_verify(s, 4)
+
+
+def test_stochastic_spec_acceptance_on_memorised(memorised):  # noqa: F811
+    """Under temperature sampling on a memorised model, q ~= p so the
+    stochastic verifier accepts most drafts — where exact-match verify
+    of greedy drafts against sampled tokens would reject far more."""
+    cfg, params, x, y, T_prompt = memorised
+    scfg = SamplingConfig(temperature=0.8, top_k=0, silence_tokens=(),
+                          spec_sampling="stochastic")
+    full, gen, st = inference_tts_spec(
+        params, cfg, x, y[:, :T_prompt], scfg, n_draft=4, seed=5,
+        return_stats=True)
+    assert st["tokens_per_pass"] >= 2.0, st
+    # the memorised continuation dominates the sampled distribution, so
+    # most emitted tokens should match it
+    T = min(gen.shape[1], y.shape[1] - T_prompt)
+    assert T > 10
+    agree = (gen[:, :T] == y[:, T_prompt:T_prompt + T]).mean()
+    assert agree > 0.8, agree
+
+
+def test_stochastic_spec_serving_and_engine_run():
+    """Machinery integration: stochastic verify + pending-token carry
+    through lockstep spec serving and the spec engine (with refill)."""
+    from voicecraft_tpu.inference.serving import serve_tts_batch
+    from voicecraft_tpu.inference.engine import ContinuousBatcher
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32", n_mtp=2)
+    params = vc.init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(8)
+    reqs = []
+    for b in range(3):
+        xx = rng.integers(0, cfg.text_vocab_size, 8 + b).astype(np.int32)
+        yy = rng.integers(0, cfg.audio_vocab_size,
+                          (cfg.n_codebooks, 14)).astype(np.int32)
+        reqs.append((xx, yy))
+    scfg = SamplingConfig(top_k=10, top_p=0.9, temperature=1.0,
+                          silence_tokens=(5, 7),
+                          spec_sampling="stochastic")
+
+    outs = serve_tts_batch(params, cfg, reqs[:2], scfg, seed=3,
+                           pads=(32, 64, 128), spec=3)
+    assert len(outs) == 2
+    for full, gen in outs:
+        assert gen.shape[0] == cfg.n_codebooks
+
+    eng = ContinuousBatcher(params, cfg, lanes=2, x_pad=32, y_pad=64,
+                            gen_max=128, burst=9, scfg=scfg, seed=3,
+                            spec=3)
+    ids = [eng.submit(xx, yy) for xx, yy in reqs]      # 3 reqs, 2 lanes
+    res = eng.run()
+    assert set(ids) <= set(res)
+    for i in ids:
+        assert res[i][1].shape[0] == cfg.n_codebooks
+
+
+def test_stochastic_greedy_falls_back_to_exact(memorised):  # noqa: F811
+    """temperature<=0 disables stochastic verify; output must be
+    bit-identical to the plain greedy loop."""
+    cfg, params, x, y, T_prompt = memorised
+    scfg = SamplingConfig(temperature=0.0, silence_tokens=(),
+                          spec_sampling="stochastic")
+    _, gen_p = inference_tts(params, cfg, x, y[:, :T_prompt], scfg, seed=0)
+    _, gen_s = inference_tts_spec(params, cfg, x, y[:, :T_prompt], scfg,
+                                  n_draft=4, seed=0)
+    np.testing.assert_array_equal(gen_s, gen_p)

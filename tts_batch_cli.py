@@ -84,6 +84,8 @@ def main():
                          "must carry MTP heads; greedy output identical)")
     ap.add_argument("--fp8", action="store_true",
                     help="weight-only fp8 serving quantization")
+    ap.add_argument("--spec-sampling", default="exact",
+                    choices=["exact", "stochastic"])
     ap.add_argument("--wer", action="store_true",
                     help="score generated audio with ASR WER "
                          "(needs --asr-model)")
@@ -117,7 +119,8 @@ def main():
     scfg = SamplingConfig(top_k=max(args.top_k, 0), top_p=args.top_p,
                           temperature=args.temperature,
                           stop_repetition=args.stop_repetition,
-                          silence_tokens=tuple(args.silence_tokens))
+                          silence_tokens=tuple(args.silence_tokens),
+                          spec_sampling=args.spec_sampling)
 
     # prepare every request up front (host work), then decode in waves
     reqs, metas = [], []

@@ -54,6 +54,12 @@ def main():
                          "plain decoding, sampled output equally valid")
     ap.add_argument("--silence-tokens", type=int, nargs="*",
                     default=[1388, 1898, 131])
+    ap.add_argument("--spec-sampling", default="exact",
+                    choices=["exact", "stochastic"],
+                    help="speculative verification: 'exact' (greedy-only "
+                         "speedup, draw-identical output) or 'stochastic' "
+                         "(speculative SAMPLING, distribution-exact under "
+                         "temperature>0)")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--language", default="en-us")
     ap.add_argument("--text-backend", default="auto",
@@ -148,7 +154,8 @@ def main():
     scfg = SamplingConfig(top_k=args.top_k, top_p=args.top_p,
                           temperature=args.temperature,
                           stop_repetition=args.stop_repetition,
-                          silence_tokens=tuple(args.silence_tokens))
+                          silence_tokens=tuple(args.silence_tokens),
+                          spec_sampling=args.spec_sampling)
 
     def synth(target_text, seed):
         phones_i = tok.phonemize(

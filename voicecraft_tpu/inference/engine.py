@@ -56,6 +56,8 @@ class LaneState(NamedTuple):
     logits: jnp.ndarray       # [B, K, card] next-slot predictions
     h: jnp.ndarray            # [B, D] last hidden (spec-mode MTP drafts)
     admit_id: jnp.ndarray     # [B] admission counter (spec-mode RNG keying)
+    pending: jnp.ndarray      # [B, K] stochastic-spec corrected token
+    has_pending: jnp.ndarray  # [B] bool
     rng: jnp.ndarray
     gstep: jnp.ndarray        # scalar: global steps taken (ring write clock)
 
@@ -73,6 +75,8 @@ def _empty_lanes(B: int, K: int, card: int, D: int, seed: int) -> LaneState:
         logits=jnp.zeros((B, K, card), jnp.float32),
         h=jnp.zeros((B, D), jnp.float32),
         admit_id=jnp.zeros((B,), jnp.int32),
+        pending=jnp.zeros((B, K), jnp.int32),
+        has_pending=jnp.zeros((B,), bool),
         rng=jax.random.PRNGKey(seed),
         gstep=jnp.asarray(0, jnp.int32))
 
@@ -226,7 +230,8 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                 t = jnp.where(live, jnp.minimum(s.t + 1, gen_max - 1), s.t)
                 new_s = LaneState(s.active, t, s.x_lens, s.prefix_lens,
                                   new_eog, consec, prev, finish_t, logits,
-                                  s.h, s.admit_id, rng, s.gstep + 1)
+                                  s.h, s.admit_id, s.pending,
+                                  s.has_pending, rng, s.gstep + 1)
                 return (cache, gen_recent, new_s), None
 
             (cache, gen_recent, new_lanes), _ = jax.lax.scan(
@@ -342,7 +347,9 @@ def make_spec_burst_fn(cfg: ModelConfig, *, batch_size: int, n_draft: int,
                 x_lens=s.x_lens, logits=s.logits, h=s.h,
                 eog=s.codebook_eog, cng=s.t, consec=s.consec, prev=s.prev,
                 t=s.t, accept_cap=gen_max - 1, pe=pe, alpha_a=alpha_a,
-                dtype=dtype, forward=forward, force_accept=force_accept)
+                dtype=dtype, forward=forward, force_accept=force_accept,
+                scfg=scfg, is_tts=True, cap_mult=cap_mult,
+                pending=s.pending, has_pending=s.has_pending)
 
             # unconditional scatter: frozen lanes write their (empty-token)
             # block at rows >= t, which retirement/streaming never read —
@@ -357,7 +364,8 @@ def make_spec_burst_fn(cfg: ModelConfig, *, batch_size: int, n_draft: int,
             new_s = LaneState(s.active, t_new, s.x_lens, s.prefix_lens,
                               out["eog"], out["consec"], out["prev"],
                               finish_t, out["logits_next"], out["h_next"],
-                              s.admit_id, s.rng, s.gstep + 1)
+                              s.admit_id, out["pending"],
+                              out["has_pending"], s.rng, s.gstep + 1)
             return cell["cache"], new_s, gen_buf
 
         def one_burst(cache, lanes, gen_buf):
@@ -462,6 +470,8 @@ def make_prefill_batch_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
             h=jnp.where(m[:, None], h_last[:, 0].astype(jnp.float32),
                         lanes.h),
             admit_id=jnp.where(m, admit_ids, lanes.admit_id),
+            pending=jnp.where(m[:, None], 0, lanes.pending),
+            has_pending=jnp.where(m, False, lanes.has_pending),
             rng=lanes.rng,
             gstep=lanes.gstep)
         return cache, lanes
@@ -537,6 +547,8 @@ def make_prefill_lane_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
                 logits0[0].astype(lanes.logits.dtype)),
             h=lanes.h.at[b].set(h_last[0, 0].astype(jnp.float32)),
             admit_id=lanes.admit_id.at[b].set(admit_id),
+            pending=lanes.pending.at[b].set(0),
+            has_pending=lanes.has_pending.at[b].set(False),
             rng=lanes.rng,
             gstep=lanes.gstep)
         return cache, lanes

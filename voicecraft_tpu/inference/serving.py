@@ -172,6 +172,8 @@ class SpecServingState(NamedTuple):
     consec_silence: jnp.ndarray  # [B]
     prev_token: jnp.ndarray      # [B]
     n_passes: jnp.ndarray        # scalar
+    pending: jnp.ndarray         # [B, K] stochastic-verify corrected token
+    has_pending: jnp.ndarray     # [B]
     done: jnp.ndarray            # [B]
 
 
@@ -270,6 +272,8 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
             consec_silence=jnp.zeros((B,), jnp.int32),
             prev_token=jnp.full((B,), -1, jnp.int32),
             n_passes=jnp.asarray(0, jnp.int32),
+            pending=jnp.zeros((B, K), jnp.int32),
+            has_pending=jnp.zeros((B,), bool),
             done=jnp.zeros((B,), bool))
 
         lane_ids = jnp.arange(B)
@@ -301,7 +305,9 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
                 cng=s.cur_num_gen, consec=s.consec_silence,
                 prev=s.prev_token, t=s.t, accept_cap=gen_max, pe=pe,
                 alpha_a=alpha_a, dtype=dtype, forward=forward,
-                bench_mode=bench_mode, force_accept=force_accept)
+                bench_mode=bench_mode, force_accept=force_accept,
+                scfg=scfg, is_tts=True, cap_mult=cap_mult,
+                pending=s.pending, has_pending=s.has_pending)
 
             # -- record accepted prefixes; garbage rows beyond n_acc are
             #    overwritten by later passes or never read (rows < t only) --
@@ -317,7 +323,8 @@ def make_spec_serving_loop(cfg: ModelConfig, *, batch_size: int, n_draft: int,
                 h=out["h_next"], rng=s.rng, t=t_new, gen_buf=gen_buf,
                 codebook_eog=out["eog"], cur_num_gen=out["cng"],
                 consec_silence=out["consec"], prev_token=out["prev"],
-                n_passes=s.n_passes + 1, done=done)
+                n_passes=s.n_passes + 1, pending=out["pending"],
+                has_pending=out["has_pending"], done=done)
 
         final = jax.lax.while_loop(cond, body, state)
         return final.gen_buf, final.t, final.n_passes

@@ -115,14 +115,17 @@ def check_mtp_heads(params, n_draft: int, scfg=None) -> None:
         raise ValueError(
             f"n_draft={n_draft} needs {n_draft - 1} MTP head groups, but "
             f"the checkpoint has n_mtp={n}")
-    if scfg is not None and scfg.temperature > 0:
+    if (scfg is not None and scfg.temperature > 0
+            and scfg.spec_sampling == "exact"):
         import warnings
         warnings.warn(
             f"speculative decoding (n_draft={n_draft}) with "
             f"temperature={scfg.temperature} > 0: exact-match verification "
             "of greedy drafts against sampled tokens rejects almost "
             "everything, so --spec will only add per-pass overhead.  Use "
-            "temperature <= 0 (greedy) for speculative speedup.",
+            "temperature <= 0 (greedy), or spec_sampling='stochastic' "
+            "(--spec-sampling stochastic) for distribution-exact "
+            "speculative SAMPLING with real acceptance.",
             stacklevel=2)
 
 
@@ -377,6 +380,22 @@ class SamplingConfig:
     temperature: float = 1.0        # <=0 -> greedy (parity/test extension)
     stop_repetition: int = 3
     silence_tokens: Tuple[int, ...] = (1388, 1898, 131)
+    # speculative-decoding verification mode (plain loops ignore this):
+    #   "exact"      — accept a draft only if it equals the freshly sampled
+    #                  token bit-exactly.  Greedy output identical to the
+    #                  plain loop; sampled output draw-identical under the
+    #                  per-token-index key schedule (invariant to tau), but
+    #                  acceptance collapses to ~prod_k p_k(draft) under
+    #                  temperature sampling.
+    #   "stochastic" — Leviathan-style speculative SAMPLING: drafts are
+    #                  sampled from the MTP distributions and verified by
+    #                  per-codebook-row rejection sampling (accept w.p.
+    #                  min(1, p/q); resample the residual otherwise).  The
+    #                  emitted tokens are distributed EXACTLY as the plain
+    #                  loop's (per-row law preserved), but the draw
+    #                  schedule differs and depends on acceptance.  This is
+    #                  the mode that makes --spec pay off at temperature>0.
+    spec_sampling: str = "exact"
 
 
 class DecodeState(NamedTuple):
@@ -398,15 +417,13 @@ class DecodeState(NamedTuple):
     done: jnp.ndarray           # scalar bool
 
 
-def _adjust_and_sample(cfg: ModelConfig, scfg: SamplingConfig, is_tts: bool,
-                       cap_mult: int, rng, logits_k, codebook_eog,
-                       cur_num_gen, consec_silence, prev_token, y_pos, x_len):
-    """One sampling decision for a single sample.  logits_k: [K, card] f32.
-
-    Faithful port of the reference sample_helper twins
-    (voicecraft.py:718-787 editing, voicecraft.py:1018-1067 TTS) including the
-    in-place-alias behaviour: the stop-check argmax sees the adjusted row 0.
-    """
+def _adjust_logits(cfg: ModelConfig, scfg: SamplingConfig, is_tts: bool,
+                   logits_k, codebook_eog, cur_num_gen, consec_silence,
+                   prev_token):
+    """The pre-sampling logit adjustments of the reference sample_helper
+    twins (bans, min-length guard, silence-repetition penalty) — split out
+    so speculative verification can reach the sampling DISTRIBUTION, not
+    just a draw (stochastic verify needs p(token))."""
     K, card = logits_k.shape
     eog_stop = cfg.eog_inference if is_tts else cfg.eog
     rows = jnp.arange(K)[:, None]
@@ -441,8 +458,19 @@ def _adjust_and_sample(cfg: ModelConfig, scfg: SamplingConfig, is_tts: bool,
         v = la
         penalised = jnp.where(v < 0, v * denom, v / jnp.maximum(denom, 1.0))
         la = jnp.where(hit & cell, penalised, la)
+    return la
 
-    samples = sample_tokens(rng, la, scfg.top_k, scfg.top_p, scfg.temperature)
+
+def _finalize_sample(cfg: ModelConfig, scfg: SamplingConfig, is_tts: bool,
+                     cap_mult: int, la, samples, codebook_eog, cur_num_gen,
+                     consec_silence, prev_token, y_pos, x_len):
+    """Deterministic post-sampling machinery of the reference sample_helper
+    twins: forced empties for the span's first K-1 steps, the eog stop
+    check (which sees the ADJUSTED row 0, the reference's in-place-alias
+    behaviour), silence counters, and the eog cascade."""
+    K, card = la.shape
+    eog_stop = cfg.eog_inference if is_tts else cfg.eog
+    n_eog = codebook_eog.sum()
 
     # ---- n_eog == 0 branch ----
     # force trailing codebooks to empty for the first K-1 steps of a span
@@ -475,6 +503,33 @@ def _adjust_and_sample(cfg: ModelConfig, scfg: SamplingConfig, is_tts: bool,
     new_consec = jnp.where(first, consec0, consec_silence)
     new_prev = jnp.where(first, prev0, prev_token)
     return new_samples, new_eog, new_consec, new_prev
+
+
+def _adjust_and_sample(cfg: ModelConfig, scfg: SamplingConfig, is_tts: bool,
+                       cap_mult: int, rng, logits_k, codebook_eog,
+                       cur_num_gen, consec_silence, prev_token, y_pos, x_len,
+                       raw_override=None):
+    """One sampling decision for a single sample.  logits_k: [K, card] f32.
+
+    Faithful port of the reference sample_helper twins
+    (voicecraft.py:718-787 editing, voicecraft.py:1018-1067 TTS) — logit
+    adjustments (_adjust_logits), a categorical draw, then the
+    deterministic finalisation machinery (_finalize_sample).
+
+    ``raw_override=(use [bool], tokens [K])``: substitute a pre-determined
+    raw sample for the draw (the stochastic speculative verifier's pending
+    corrected token) — the finalisation path is identical either way.
+    """
+    la = _adjust_logits(cfg, scfg, is_tts, logits_k, codebook_eog,
+                        cur_num_gen, consec_silence, prev_token)
+    samples = sample_tokens(rng, la, scfg.top_k, scfg.top_p,
+                            scfg.temperature)
+    if raw_override is not None:
+        use, toks = raw_override
+        samples = jnp.where(use, toks, samples)
+    return _finalize_sample(cfg, scfg, is_tts, cap_mult, la, samples,
+                            codebook_eog, cur_num_gen, consec_silence,
+                            prev_token, y_pos, x_len)
 
 
 def make_decode_loop(cfg: ModelConfig, *, is_tts: bool, x_pad: int,
@@ -706,6 +761,8 @@ class SpecDecodeState(NamedTuple):
     consec_silence: jnp.ndarray
     prev_token: jnp.ndarray
     n_passes: jnp.ndarray       # forward passes taken (for acceptance stats)
+    pending: jnp.ndarray        # [1, K] stochastic-verify corrected token
+    has_pending: jnp.ndarray    # [1] bool
     done: jnp.ndarray
 
 
@@ -805,6 +862,8 @@ def make_spec_decode_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
             consec_silence=jnp.asarray(0, jnp.int32),
             prev_token=jnp.asarray(-1, jnp.int32),
             n_passes=jnp.asarray(0, jnp.int32),
+            pending=jnp.zeros((1, K), jnp.int32),
+            has_pending=jnp.zeros((1,), bool),
             done=jnp.asarray(False))
 
         def cond(s: SpecDecodeState):
@@ -834,7 +893,9 @@ def make_spec_decode_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
                 prev=jnp.atleast_1d(s.prev_token), t=s.gen_cnt,
                 accept_cap=gen_max, pe=pe, alpha_a=alpha_a, dtype=dtype,
                 forward=forward, bench_mode=bench_mode,
-                force_accept=force_accept)
+                force_accept=force_accept, scfg=scfg, is_tts=True,
+                cap_mult=cap_mult, pending=s.pending,
+                has_pending=s.has_pending)
 
             n_acc = out["n_acc"][0]
             # record the block; rows beyond n_acc are overwritten later
@@ -855,6 +916,8 @@ def make_spec_decode_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
                 consec_silence=out["consec"][0],
                 prev_token=out["prev"][0],
                 n_passes=s.n_passes + 1,
+                pending=out["pending"],
+                has_pending=out["has_pending"],
                 done=jnp.all(out["eog"][0]))
 
         final = jax.lax.while_loop(cond, body, state)
@@ -915,8 +978,15 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
         -> (gen_buf [gen_max+tau, K], span_buf [gen_max+tau], gen_cnt,
             n_spans_done)
     """
-    from ..inference.spec_common import make_lane_sampler, spec_verify_pass
+    from ..inference.spec_common import (make_lane_sampler, spec_verify_pass,
+                                         use_stochastic_verify)
     assert n_draft >= 2, "spec editing needs n_draft >= 2 (feed pass)"
+    if use_stochastic_verify(scfg, n_draft):
+        raise ValueError(
+            "spec_sampling='stochastic' is not supported for multi-span "
+            "editing (the pending-token carry does not compose with span "
+            "transition feed passes yet); use spec_sampling='exact' or "
+            "greedy decoding")
     K, D = cfg.n_codebooks, cfg.d_model
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
     dtype = jnp.dtype(cfg.compute_dtype)
