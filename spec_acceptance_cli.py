@@ -66,6 +66,13 @@ def main():
     ap.add_argument("--lanes", type=int, default=8,
                     help="serving/engine lanes")
     ap.add_argument("--prompt-sec", type=float, default=2.0)
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="0 = greedy (spec output bit-identical to plain); "
+                         ">0 measures sampled-mode acceptance — combine "
+                         "with --spec-sampling stochastic")
+    ap.add_argument("--top-k", type=int, default=0)
+    ap.add_argument("--spec-sampling", default="exact",
+                    choices=["exact", "stochastic"])
     ap.add_argument("--skip-engine", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -96,9 +103,13 @@ def main():
     items = load_eval_items(args.eval_dir, cparams, ccfg, tok, phn2num,
                             max(args.n, args.lanes * 2), args.prompt_sec)
     logging.info("loaded %d held-out items", len(items))
-    scfg = SamplingConfig(top_k=0, top_p=1.0, temperature=0.0,
-                          stop_repetition=3)
-    results = {"n_mtp": n_mtp, "single": {}, "serving": {}, "engine": {}}
+    scfg = SamplingConfig(top_k=args.top_k, top_p=1.0,
+                          temperature=args.temperature,
+                          stop_repetition=3,
+                          spec_sampling=args.spec_sampling)
+    results = {"n_mtp": n_mtp, "temperature": args.temperature,
+               "spec_sampling": args.spec_sampling,
+               "single": {}, "serving": {}, "engine": {}}
 
     # ---- plain single-stream reference (wall-clock + token lengths) ----
     def run_single_plain():
