@@ -70,7 +70,21 @@ def load_model(path_or_preset: str, random_init: bool = False,
     import orbax.checkpoint as ocp
     with ocp.StandardCheckpointer() as ckptr:
         # the trainer bundles params+opt_state+rng; restore all, keep params
-        restored = ckptr.restore(os.path.abspath(path_or_preset))
+        path = os.path.abspath(path_or_preset)
+        try:
+            restored = ckptr.restore(path)
+        except ValueError:
+            # checkpoint was saved on a different device kind (e.g. TPU,
+            # now loading on CPU): restore into local-device placements
+            # rebuilt from the checkpoint's own shape/dtype metadata
+            from jax.sharding import SingleDeviceSharding
+            dev = jax.local_devices()[0]
+            md = ckptr.metadata(path).item_metadata
+            target = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(
+                    m.shape, m.dtype, sharding=SingleDeviceSharding(dev)),
+                md)
+            restored = ckptr.restore(path, target)
     phn2num = None
     vocab_fn = os.path.join(os.path.dirname(meta_fn), "vocab.txt")
     if os.path.exists(vocab_fn):
