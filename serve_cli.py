@@ -138,7 +138,9 @@ class Engine:
                                          (1388, 1898, 131))),
             spec_sampling=req.get(
                 "spec_sampling",
-                getattr(self.args, "spec_sampling", "exact")))
+                getattr(self.args, "spec_sampling", "exact")),
+            spec_draft_temperature=float(
+                req.get("spec_draft_temperature", -1.0)))
 
     def _words_info(self, req, wav, transcript):
         """Whisper-style words_info for the prompt: request-supplied

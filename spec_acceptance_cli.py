@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--spec-sampling", default="exact",
                     choices=["exact", "stochastic"])
+    ap.add_argument("--spec-draft-temperature", type=float, default=-1.0,
+                    help="stochastic-mode draft proposal temperature "
+                         "(<0 = sampling temperature; small values, e.g. "
+                         "0.1, sharpen q toward the MTP argmax)")
     ap.add_argument("--skip-engine", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -106,7 +110,8 @@ def main():
     scfg = SamplingConfig(top_k=args.top_k, top_p=1.0,
                           temperature=args.temperature,
                           stop_repetition=3,
-                          spec_sampling=args.spec_sampling)
+                          spec_sampling=args.spec_sampling,
+                          spec_draft_temperature=args.spec_draft_temperature)
     results = {"n_mtp": n_mtp, "temperature": args.temperature,
                "spec_sampling": args.spec_sampling,
                "single": {}, "serving": {}, "engine": {}}

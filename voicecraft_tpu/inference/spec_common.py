@@ -59,6 +59,19 @@ def _filtered(scfg: SamplingConfig, logits):
     return top_k_top_p_filter(lg, scfg.top_k, scfg.top_p)
 
 
+def _filtered_draft(scfg: SamplingConfig, logits):
+    """The draft PROPOSAL distribution q: like _filtered but with the
+    draft temperature (spec_draft_temperature; < 0 -> the sampling
+    temperature).  q is a free choice — any proposal keeps the verifier
+    distribution-exact — so sharpening it tunes the acceptance profile
+    (see SamplingConfig.spec_draft_temperature)."""
+    td = (scfg.spec_draft_temperature if scfg.spec_draft_temperature >= 0
+          else scfg.temperature)
+    td = max(td, 1e-3)          # near-greedy floor keeps logq finite
+    lg = logits if td == 1.0 else logits / td
+    return top_k_top_p_filter(lg, scfg.top_k, scfg.top_p)
+
+
 def _vfold(keys, salt: int):
     return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, salt)
 
@@ -84,7 +97,7 @@ def stochastic_row_verify(key, la, dlg, d_tok, overridden,
     K = la.shape[0]
     kp, kr, kf = jax.random.split(key, 3)
     logp = jax.nn.log_softmax(_filtered(scfg, la), axis=-1)
-    logq = jax.nn.log_softmax(_filtered(scfg, dlg), axis=-1)
+    logq = jax.nn.log_softmax(_filtered_draft(scfg, dlg), axis=-1)
     lp_d = jnp.take_along_axis(logp, d_tok[:, None], axis=-1)[:, 0]
     lq_d = jnp.take_along_axis(logq, d_tok[:, None], axis=-1)[:, 0]
     u = jax.random.uniform(kp, (K,), minval=1e-20)
@@ -184,7 +197,7 @@ def spec_verify_pass(params, cfg: ModelConfig, sample_lanes, *,
             # acceptance then tracks the p/q overlap instead of p(argmax)
             def draw_draft(j):
                 keys = _vfold(tok_key(j + 1), _SALT_DRAFT)
-                lg = _filtered(scfg, d_logits[j])          # [B, K, card]
+                lg = _filtered_draft(scfg, d_logits[j])    # [B, K, card]
                 return jax.vmap(
                     lambda k_, l_: jax.random.categorical(k_, l_, axis=-1)
                 )(keys, lg).astype(jnp.int32)

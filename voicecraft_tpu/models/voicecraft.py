@@ -396,6 +396,15 @@ class SamplingConfig:
     #                  schedule differs and depends on acceptance.  This is
     #                  the mode that makes --spec pay off at temperature>0.
     spec_sampling: str = "exact"
+    # Draft proposal temperature for stochastic verification (< 0 -> use
+    # ``temperature``).  The proposal q is arbitrary, so sharpening it is
+    # still distribution-exact; it trades acceptance profiles: q ~ p wins
+    # when p is flat (acceptance = 1 - TV(p, q)), a near-greedy q (small
+    # values, e.g. 0.1) wins when p is peaked but the MTP distributions
+    # are miscalibrated (acceptance -> p(argmax q), the exact-match rate,
+    # while keeping exact sampled output).  Measured on the procedural
+    # corpus: see PERF.md "Measured speculative acceptance".
+    spec_draft_temperature: float = -1.0
 
 
 class DecodeState(NamedTuple):
