@@ -60,6 +60,8 @@ def main():
                          "train_cli --n-mtp); greedy output identical to "
                          "plain decoding")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--spec-sampling", default="exact",
+                    choices=["exact", "stochastic"])
     ap.add_argument("--language", default="en-us")
     ap.add_argument("--text-backend", default="auto")
     ap.add_argument("--random-init", action="store_true")
@@ -118,7 +120,8 @@ def main():
     scfg = SamplingConfig(top_k=args.top_k if args.top_k > 0 else 0,
                           top_p=args.top_p, temperature=args.temperature,
                           stop_repetition=args.stop_repetition,
-                          silence_tokens=tuple(args.silence_tokens))
+                          silence_tokens=tuple(args.silence_tokens),
+                          spec_sampling=args.spec_sampling)
     res = inference_edit(params, cfg, x, codes, [interval], scfg,
                          seed=args.seed, spec=args.spec)
     out = ec.decode_bucketed(cparams, res[None], ccfg)[0]

@@ -38,6 +38,8 @@ def main():
                     help="speculative decoding (MTP-head checkpoint; "
                          "greedy output identical to plain decoding)")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--spec-sampling", default="exact",
+                    choices=["exact", "stochastic"])
     ap.add_argument("--num-seeds", type=int, default=1,
                     help="write one output per seed (reference _new_seed{n})")
     ap.add_argument("--wer", action="store_true",
@@ -75,7 +77,8 @@ def main():
     scfg = SamplingConfig(top_k=args.top_k if args.top_k > 0 else 0,
                           top_p=args.top_p, temperature=args.temperature,
                           stop_repetition=args.stop_repetition,
-                          silence_tokens=tuple(args.silence_tokens))
+                          silence_tokens=tuple(args.silence_tokens),
+                          spec_sampling=args.spec_sampling)
 
     n_ok = 0
     wers = []

@@ -164,3 +164,31 @@ def test_stochastic_greedy_falls_back_to_exact(memorised):  # noqa: F811
     _, gen_s = inference_tts_spec(params, cfg, x, y[:, :T_prompt], scfg,
                                   n_draft=4, seed=0)
     np.testing.assert_array_equal(gen_s, gen_p)
+
+
+def test_stochastic_spec_editing_runs_multispan():
+    """Stochastic verification + the edit loop's span machinery: pending
+    captures never collide with span transitions (they're mutually
+    exclusive), feed passes preserve pending, and the run completes with
+    unedited regions intact."""
+    from voicecraft_tpu.inference.editing import inference_edit
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32", n_mtp=3)
+    params = vc.init_params(cfg, jax.random.PRNGKey(42))
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, cfg.text_vocab_size, 12).astype(np.int32)
+    y = rng.integers(0, cfg.audio_vocab_size,
+                     (cfg.n_codebooks, 30)).astype(np.int32)
+    s = SamplingConfig(top_k=10, top_p=0.9, temperature=1.0,
+                       silence_tokens=(5, 7), spec_sampling="stochastic")
+    ivs = [(5, 12), (20, 25)]
+    out = inference_edit(params, cfg, x, y, ivs, s, seed=3, spec=3)
+    assert out.shape[0] == cfg.n_codebooks and out.shape[1] > 0
+    np.testing.assert_array_equal(out[:, :ivs[0][0]], y[:, :ivs[0][0]])
+    # greedy fallback stays bit-identical to the plain edit loop
+    g = SamplingConfig(temperature=0.0, silence_tokens=(),
+                      spec_sampling="stochastic")
+    plain = inference_edit(params, cfg, x, y, ivs,
+                           dataclasses.replace(g, spec_sampling="exact"),
+                           seed=3)
+    spec = inference_edit(params, cfg, x, y, ivs, g, seed=3, spec=3)
+    np.testing.assert_array_equal(spec, plain)

@@ -953,6 +953,8 @@ class SpecEditState(NamedTuple):
     queue: jnp.ndarray          # [2, D]
     queue_len: jnp.ndarray
     n_passes: jnp.ndarray
+    pending: jnp.ndarray        # [1, K] stochastic-verify corrected token
+    has_pending: jnp.ndarray    # [1]
     done: jnp.ndarray
 
 
@@ -987,15 +989,15 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
         -> (gen_buf [gen_max+tau, K], span_buf [gen_max+tau], gen_cnt,
             n_spans_done)
     """
-    from ..inference.spec_common import (make_lane_sampler, spec_verify_pass,
-                                         use_stochastic_verify)
+    from ..inference.spec_common import make_lane_sampler, spec_verify_pass
     assert n_draft >= 2, "spec editing needs n_draft >= 2 (feed pass)"
-    if use_stochastic_verify(scfg, n_draft):
-        raise ValueError(
-            "spec_sampling='stochastic' is not supported for multi-span "
-            "editing (the pending-token carry does not compose with span "
-            "transition feed passes yet); use spec_sampling='exact' or "
-            "greedy decoding")
+    # stochastic verification composes with the span machinery because a
+    # pending capture and a span completion are mutually exclusive: capture
+    # requires the slot REJECTED (alive & ~match) while span_complete
+    # requires an ACCEPTED all-eog slot, after which `alive` kills every
+    # later slot's capture; and feed passes gate the verifier off entirely
+    # (pending is preserved untouched through them, though in practice it
+    # cannot be set when a feed pass starts)
     K, D = cfg.n_codebooks, cfg.d_model
     H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -1065,6 +1067,8 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
             queue=jnp.zeros((2, D), dtype),
             queue_len=jnp.asarray(0, jnp.int32),
             n_passes=jnp.asarray(0, jnp.int32),
+            pending=jnp.zeros((1, K), jnp.int32),
+            has_pending=jnp.zeros((1,), bool),
             done=jnp.asarray(False))
 
         def cond(s: SpecEditState):
@@ -1100,7 +1104,9 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
                 consec=jnp.atleast_1d(s.consec_silence),
                 prev=jnp.atleast_1d(s.prev_token), t=s.gen_cnt,
                 accept_cap=gen_max, pe=pe, alpha_a=alpha_a, dtype=dtype,
-                forward=forward, mix_emb=mix)
+                forward=forward, mix_emb=mix, scfg=scfg, is_tts=False,
+                cap_mult=cap_mult, pending=s.pending,
+                has_pending=s.has_pending)
 
             n_acc = out["n_acc"][0]        # 0 on feed passes (gate off)
             eog_f, cng_f = out["eog"][0], out["cng"][0]
@@ -1160,7 +1166,8 @@ def make_spec_edit_loop(cfg: ModelConfig, *, x_pad: int, y_pad: int,
                 codebook_eog=codebook_eog, cur_num_gen=cur_num_gen,
                 consec_silence=consec, prev_token=prev, span_idx=span_idx,
                 queue=queue, queue_len=queue_len,
-                n_passes=s.n_passes + 1, done=done)
+                n_passes=s.n_passes + 1, pending=out["pending"],
+                has_pending=out["has_pending"], done=done)
 
         final = jax.lax.while_loop(cond, body, state)
         return (final.gen_buf, final.span_buf, final.gen_cnt,
