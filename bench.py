@@ -46,6 +46,10 @@ def main():
                     choices=["dense", "chunked"],
                     help="training attention mode for --train (default: "
                          "the preset's cfg.train_attn)")
+    ap.add_argument("--train-fused", action="store_true",
+                    help="force the single-phase (fused fwd+bwd+update) "
+                         "step even for >400M models (with chunked "
+                         "attention the activation footprint may fit)")
     ap.add_argument("--train-batch", type=int, default=0,
                     help="override the training bench batch size "
                          "(default: 4 for >400M models, else 16)")
@@ -366,7 +370,7 @@ def _bench_train(args):
     params = init_params(cfg, jax.random.PRNGKey(0))
     tx = scaled_adam(lr=eden_schedule(0.05, 3000, 4, 500))
     opt_state = jax.jit(tx.init)(params)
-    big = param_count(params) > 4e8
+    big = param_count(params) > 4e8 and not args.train_fused
     make = make_train_step_two_phase if big else make_train_step
     step = make(cfg, tx)
     # measured on v5e (PERF.md "Training throughput"): 830M two-phase fits
@@ -385,7 +389,8 @@ def _bench_train(args):
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "metric": f"train_tokens_per_sec_{args.preset}"
-                  + (f"_{args.train_attn}" if args.train_attn else ""),
+                  + (f"_{args.train_attn}" if args.train_attn else "")
+                  + ("_fused" if args.train_fused else ""),
         "value": round(ntok / dt, 0),
         "unit": "codec_tokens/s/chip",
         "vs_baseline": 1.0,
