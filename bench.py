@@ -50,6 +50,11 @@ def main():
                     help="force the single-phase (fused fwd+bwd+update) "
                          "step even for >400M models (with chunked "
                          "attention the activation footprint may fit)")
+    ap.add_argument("--train-remat", default=None,
+                    choices=["full", "dots", "attn", "attn_ffn1", "none"],
+                    help="layer remat policy for --train (default: the "
+                         "preset's cfg.train_remat; 'dots' saves matmul "
+                         "outputs, recomputes only elementwise)")
     ap.add_argument("--train-batch", type=int, default=0,
                     help="override the training bench batch size "
                          "(default: 4 for >400M models, else 16)")
@@ -364,6 +369,8 @@ def _bench_train(args):
     cfg = PRESETS[args.preset]()
     if args.train_attn:
         cfg = dataclasses.replace(cfg, train_attn=args.train_attn)
+    if args.train_remat:
+        cfg = dataclasses.replace(cfg, train_remat=args.train_remat)
     if jax.default_backend() == "cpu" and cfg.compute_dtype == "bfloat16":
         # CPU XLA lacks bf16xbf16->f32 dots (smoke runs only)
         cfg = dataclasses.replace(cfg, compute_dtype="float32")
@@ -390,6 +397,7 @@ def _bench_train(args):
     print(json.dumps({
         "metric": f"train_tokens_per_sec_{args.preset}"
                   + (f"_{args.train_attn}" if args.train_attn else "")
+                  + (f"_{args.train_remat}" if args.train_remat else "")
                   + ("_fused" if args.train_fused else ""),
         "value": round(ntok / dt, 0),
         "unit": "codec_tokens/s/chip",

@@ -1,0 +1,105 @@
+"""ZeRO-1 optimizer-state sharding (parallel/mesh.py zero1_opt_shardings).
+
+The reference replicates optimizer state per DDP rank (steps/trainer.py:46);
+here the param-shaped moments are sharded over the mesh's data axis.  The
+transformation is layout-only, so the sharded trajectory must match the
+replicated one bit-for-bit.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from voicecraft_tpu.config import tiny_test
+from voicecraft_tpu.models.voicecraft import init_params
+from voicecraft_tpu.parallel.mesh import (
+    make_mesh, shard_params, param_shardings, shard_batch,
+    zero1_opt_shardings)
+from voicecraft_tpu.training.optim import scaled_adam, adamw_reference
+from voicecraft_tpu.training.step import make_train_step
+
+from __graft_entry__ import _synthetic_batch
+
+
+def _cfg():
+    return dataclasses.replace(tiny_test(), compute_dtype="float32")
+
+
+def _run(cfg, tx, mesh, zero1: bool, n_steps=3, B=8):
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    batch = _synthetic_batch(cfg, B=B, Sx=16, y_len=40, seed=5)
+    param_sh = opt_sh = None
+    if mesh is not None:
+        params = shard_params(params, mesh)
+        param_sh = param_shardings(params, mesh)
+        batch = shard_batch(batch, mesh)
+    opt_state = jax.jit(tx.init)(params)
+    if mesh is not None and zero1:
+        opt_sh = zero1_opt_shardings(params, opt_state, mesh)
+        assert opt_sh is not None
+        opt_state = jax.device_put(opt_state, opt_sh)
+    step = make_train_step(cfg, tx, param_shardings=param_sh,
+                           opt_shardings=opt_sh)
+    losses = []
+    for i in range(n_steps):
+        params, opt_state, m = step(params, opt_state, batch,
+                                    jax.random.PRNGKey(100 + i))
+        losses.append(float(np.asarray(m["loss"])))
+    return params, opt_state, losses
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_zero1_moments_are_data_sharded():
+    cfg = _cfg()
+    mesh = make_mesh(4, 2)
+    params = shard_params(init_params(cfg, jax.random.PRNGKey(0)), mesh)
+    tx = scaled_adam(lr=0.05)
+    opt_state = jax.jit(tx.init)(params)
+    sh = zero1_opt_shardings(params, opt_state, mesh)
+    assert sh is not None
+    # every param-shaped moment big enough to split carries a 'data' axis
+    n_sharded = 0
+    for leaf_sh, leaf in zip(jax.tree.leaves(sh), jax.tree.leaves(opt_state)):
+        spec = leaf_sh.spec
+        if "data" in jax.tree.leaves(tuple(spec)):
+            n_sharded += 1
+            ax = tuple(spec).index("data")
+            assert leaf.shape[ax] % 4 == 0
+    assert n_sharded >= 10  # delta+exp_avg_sq for every major tensor
+    placed = jax.device_put(opt_state, sh)
+    delta0 = placed.leaves[0].delta
+    assert len(delta0.sharding.device_set) >= 4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("opt", ["scaled_adam", "adamw"])
+def test_zero1_trajectory_matches_replicated(opt):
+    cfg = _cfg()
+    mesh = make_mesh(4, 2)
+    make_tx = (lambda: scaled_adam(lr=0.05)) if opt == "scaled_adam" else \
+        (lambda: adamw_reference(1e-3))
+    p_repl, _, l_repl = _run(cfg, make_tx(), mesh, zero1=False)
+    p_z1, opt_z1, l_z1 = _run(cfg, make_tx(), mesh, zero1=True)
+
+    assert l_repl == l_z1, (l_repl, l_z1)
+    for a, b in zip(jax.tree.leaves(p_repl), jax.tree.leaves(p_z1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the state stayed sharded through the jitted steps (the constraint held)
+    flat_sh = jax.tree.leaves(
+        jax.tree.map(lambda x: x.sharding.spec, opt_z1))
+    assert any("data" in jax.tree.leaves(tuple(s)) for s in flat_sh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_zero1_unsupported_state_returns_none():
+    import optax
+    cfg = _cfg()
+    mesh = make_mesh(4, 2)
+    params = shard_params(init_params(cfg, jax.random.PRNGKey(0)), mesh)
+    tx = optax.sgd(1e-2)
+    opt_state = jax.jit(tx.init)(params)
+    assert zero1_opt_shardings(params, opt_state, mesh) is None

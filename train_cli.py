@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--val-every-n-steps", type=int, default=800)
     ap.add_argument("--n-model", type=int, default=1,
                     help="tensor-parallel size; data-parallel gets the rest")
+    ap.add_argument("--no-zero1", action="store_true",
+                    help="replicate optimizer state per data shard (DDP-"
+                         "style) instead of the default ZeRO-1 sharding")
     ap.add_argument("--train-attn", default=None,
                     choices=["dense", "chunked"],
                     help="training attention: 'dense' materialises the "
@@ -37,6 +40,12 @@ def main():
                          "the differentiable chunked attention (no "
                          "materialised probs -> bigger batches; parity incl. "
                          "gradients in tests/test_flash_attention.py)")
+    ap.add_argument("--train-remat", default=None,
+                    choices=["full", "dots", "attn", "attn_ffn1", "none"],
+                    help="layer remat policy: 'full' recomputes the whole "
+                         "layer body in the backward, 'dots' saves matmul "
+                         "outputs (recompute only elementwise; more memory, "
+                         "fewer recompute FLOPs), 'none' disables remat")
     ap.add_argument("--n-mtp", type=int, default=0,
                     help="train N multi-token-prediction head groups "
                          "(speculative decoding drafts; auxiliary loss only)")
@@ -76,12 +85,15 @@ def main():
         mcfg = dataclasses.replace(mcfg, n_mtp=args.n_mtp)
     if args.train_attn:
         mcfg = dataclasses.replace(mcfg, train_attn=args.train_attn)
+    if args.train_remat:
+        mcfg = dataclasses.replace(mcfg, train_remat=args.train_remat)
     tcfg = TrainConfig(
         exp_dir=args.exp_dir, dataset_dir=args.dataset_dir,
         optimizer_name=args.optimizer, lr=args.lr, num_steps=args.num_steps,
         max_num_tokens=args.max_num_tokens, num_buckets=args.num_buckets,
         seed=args.seed, drop_long=args.drop_long,
-        val_every_n_steps=args.val_every_n_steps)
+        val_every_n_steps=args.val_every_n_steps,
+        zero1=not args.no_zero1)
 
     n_dev = len(jax.devices())
     mesh = None

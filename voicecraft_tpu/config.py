@@ -82,6 +82,13 @@ class ModelConfig:
     # dropout) or "chunked" (online-softmax over key blocks, O(S*chunk)
     # memory, no attention-prob dropout)
     train_attn: str = "dense"
+    # layer-stack rematerialisation policy for the training forward:
+    # "full" recomputes the whole layer body in the backward (lowest memory,
+    # +1 forward of recompute FLOPs); "dots" saves every matmul output and
+    # recomputes only elementwise ops (LN/relu/dropout/residual) — trades
+    # ~sum-of-dot-outputs bf16 memory for near-zero recompute FLOPs;
+    # "none" disables remat (dense-activation training, small models only)
+    train_remat: str = "full"
 
     # ---- derived quantities -------------------------------------------------
 
@@ -200,6 +207,11 @@ class TrainConfig:
     # memory: split grads/update into two executables (auto-enabled for
     # >400M-param models on a single chip; see training/step.py)
     two_phase_step: bool = False
+    # ZeRO-1: shard the optimizer moments over the mesh's data axis
+    # (parallel/mesh.py zero1_opt_shardings); semantics-identical, 1/dp the
+    # optimizer memory per chip.  Only takes effect with a mesh and a
+    # recognised optimizer state; set False to force DDP-style replication.
+    zero1: bool = True
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -123,6 +123,7 @@ def apply_layer(p, x, bias, nhead: int, dropout: float = 0.0, rng=None):
 
     ``bias`` is either an additive-bias array for the dense path or a
     callable attn_fn(q, k, v, dropout_rng) (e.g. chunked/flash attention)."""
+    from jax.ad_checkpoint import checkpoint_name
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
     h = layer_norm(p["ln1"], x)
     q, k, v = qkv_proj(p["attn"], h)
@@ -130,12 +131,16 @@ def apply_layer(p, x, bias, nhead: int, dropout: float = 0.0, rng=None):
         a = bias(q, k, v, rngs[0])
     else:
         a = mha(q, k, v, bias, nhead, dropout_rate=dropout, rng=rngs[0])
+    # remat-policy anchors (see apply_stack): naming is free unless a
+    # save_only_these_names policy elects the tensor
+    a = checkpoint_name(a, "attn_out")
     a = _proj(a, p["attn"]["out"]["w"], p["attn"]["out"]["b"])
     x = x + _dropout(a, dropout, rngs[1])
 
     h = layer_norm(p["ln2"], x)
     h = _proj(h, p["ffn"]["lin1"]["w"], p["ffn"]["lin1"]["b"])
     h = jax.nn.relu(h)                      # reference transformer.py:188 (F.relu)
+    h = checkpoint_name(h, "ffn1")
     h = _dropout(h, dropout, rngs[2])
     h = _proj(h, p["ffn"]["lin2"]["w"], p["ffn"]["lin2"]["b"])
     x = x + _dropout(h, dropout, rngs[3])
@@ -143,8 +148,16 @@ def apply_layer(p, x, bias, nhead: int, dropout: float = 0.0, rng=None):
 
 
 def apply_stack(params, x, bias, nhead: int, dropout: float = 0.0, rng=None,
-                remat: bool = False):
-    """Run the full stack over [B, S, D] with additive bias [*, 1, S, S]."""
+                remat: bool = False, remat_policy: str = "full"):
+    """Run the full stack over [B, S, D] with additive bias [*, 1, S, S].
+
+    ``remat_policy`` (only read when ``remat``): "full" saves nothing per
+    layer (whole body recomputed in the backward — +1 forward of recompute);
+    "dots" saves every matmul output (qkv/out/ffn projections; for chunked
+    attention also the per-chunk outputs, whose inner checkpoint still
+    rematerialises the softmax internals) so the backward recomputes only
+    elementwise ops.  See config.ModelConfig.train_remat.
+    """
     n_layers = jax.tree.leaves(params["layers"])[0].shape[0]
     if rng is not None:
         layer_rngs = jax.random.split(rng, n_layers)
@@ -156,7 +169,20 @@ def apply_stack(params, x, bias, nhead: int, dropout: float = 0.0, rng=None,
         r = lrng if rng is not None else None
         return apply_layer(layer_p, carry, bias, nhead, dropout, r), None
 
-    body_fn = jax.checkpoint(body) if remat else body
+    if remat:
+        pols = jax.checkpoint_policies
+        policy = {
+            "dots": pols.dots_with_no_batch_dims_saveable,
+            # save the pre-out-proj attention result: with chunked train
+            # attention (itself inner-checkpointed) this cuts the outer
+            # remat's second attention forward — B*S*D bf16 per layer
+            "attn": pols.save_only_these_names("attn_out"),
+            # + the 4*D ffn hidden: kills most remaining recompute FLOPs
+            "attn_ffn1": pols.save_only_these_names("attn_out", "ffn1"),
+        }.get(remat_policy)
+        body_fn = jax.checkpoint(body, policy=policy)
+    else:
+        body_fn = body
     x, _ = jax.lax.scan(body_fn, x, (params["layers"], layer_rngs))
     return layer_norm(params["final_ln"], x)
 

@@ -265,7 +265,9 @@ def forward_train(params, cfg: ModelConfig, batch: TrainBatch,
     else:
         bias = segment_padding_bias(Sx + Sy, Sx, batch.x_lens, batch.y_lens)
     h = trm.apply_stack(params["decoder"], xy, bias, cfg.nhead,
-                        dropout=cfg.trm_dropout, rng=rngs[3], remat=remat)
+                        dropout=cfg.trm_dropout, rng=rngs[3],
+                        remat=remat and cfg.train_remat != "none",
+                        remat_policy=cfg.train_remat)
     h_y = h[:, Sx:]                                                 # [B, Sy, D]
 
     logits = apply_heads(params["heads"], h_y)                      # [B,Sy,K,card] f32

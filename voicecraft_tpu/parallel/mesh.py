@@ -86,6 +86,76 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, param_shardings(params, mesh))
 
 
+# ---- ZeRO-1: optimizer state sharded over the data axis ------------------------
+
+def _extend_with_data(spec: P, shape, dp: int) -> P:
+    """Shard the first free (None) axis divisible by ``dp`` over 'data'.
+
+    Keeps any existing 'model' placements (so the elementwise optimizer math
+    never reshards the TP axis); leaves too small or indivisible stay as-is.
+    """
+    s = tuple(spec) + (None,) * (len(shape) - len(spec))
+    for i, (ax, dim) in enumerate(zip(s, shape)):
+        if ax is None and dim % dp == 0 and dim >= dp:
+            return P(*(s[:i] + ("data",) + s[i + 1:]))
+    return P(*s)
+
+
+def zero1_opt_shardings(params, opt_state, mesh: Mesh):
+    """ZeRO-1 sharding pytree for an optimizer state, or None if unsupported.
+
+    The reference replicates optimizer state per DDP rank (steps/trainer.py:46
+    — standard torch DDP).  Here the big param-shaped moments (ScaledAdam's
+    ``delta``/``exp_avg_sq``, ~8 bytes/param f32) are sharded over the mesh's
+    'data' axis — the idiomatic GSPMD form of ZeRO-1/optimizer-state sharding:
+    jit sees data-sharded state operands, partitions the elementwise update
+    accordingly (grads arrive via reduce-scatter instead of all-reduce), and
+    all-gathers only the final param-shaped update.  Same bytes on the wire
+    as DDP, 1/dp the optimizer memory per chip.
+
+    Supports ScaledAdamState and optax.adamw's chained state; anything else
+    returns None (caller keeps the replicated layout).
+    """
+    dp = mesh.shape["data"]
+    if dp <= 1:
+        return None
+    from ..training.optim import ScaledAdamState, _LeafState
+
+    repl = NamedSharding(mesh, P())
+    pspecs = jax.tree.leaves(param_pspecs(params),
+                             is_leaf=lambda x: isinstance(x, P))
+    pflat = jax.tree.leaves(params)
+
+    def moment(spec, p):
+        return NamedSharding(mesh, _extend_with_data(spec, p.shape, dp))
+
+    if isinstance(opt_state, ScaledAdamState):
+        leaves = tuple(
+            _LeafState(delta=moment(spec, p), exp_avg_sq=moment(spec, p),
+                       param_rms=repl, scale_exp_avg_sq=repl,
+                       scale_grads=repl)
+            for spec, p in zip(pspecs, pflat))
+        return ScaledAdamState(step=repl, model_norms=repl,
+                               model_norm_threshold=repl, leaves=leaves)
+
+    # optax.adamw: (ScaleByAdamState(count, mu, nu), <wd/lr states>) where
+    # mu/nu are param-congruent pytrees
+    try:
+        import optax
+        if (isinstance(opt_state, tuple) and len(opt_state) > 0
+                and isinstance(opt_state[0], optax.ScaleByAdamState)):
+            sh_tree = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(params),
+                [moment(spec, p) for spec, p in zip(pspecs, pflat)])
+            adam = optax.ScaleByAdamState(count=repl, mu=sh_tree, nu=sh_tree)
+            rest = tuple(jax.tree.map(lambda _: repl, s)
+                         for s in opt_state[1:])
+            return (adam,) + rest
+    except Exception:
+        pass
+    return None
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host-local batch on the mesh, sharded over 'data'.
 

@@ -17,9 +17,16 @@ from ..config import ModelConfig
 from ..models.voicecraft import TrainBatch, forward_train
 
 
+def _constrain(tree, shardings):
+    if shardings is None:
+        return tree
+    return jax.lax.with_sharding_constraint(tree, shardings)
+
+
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     remat: bool = True, grad_accum: int = 1,
-                    normalize_loss: bool = False):
+                    normalize_loss: bool = False,
+                    param_shardings=None, opt_shardings=None):
     """Returns jitted step(params, opt_state, batch, rng) ->
     (params, opt_state, metrics).
 
@@ -95,8 +102,10 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
 
         keep = lambda new, old: jax.tree.map(
             lambda n, o: jnp.where(ok, n, o), new, old)
-        params = keep(new_params, params)
-        opt_state = keep(new_opt_state, opt_state)
+        # ZeRO-1 (parallel/mesh.py zero1_opt_shardings): pin the layouts so
+        # GSPMD keeps moments data-sharded and params replicated-over-data
+        params = _constrain(keep(new_params, params), param_shardings)
+        opt_state = _constrain(keep(new_opt_state, opt_state), opt_shardings)
 
         metrics = {
             "loss": loss,
@@ -116,7 +125,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
 def make_train_step_two_phase(cfg: ModelConfig,
                               tx: optax.GradientTransformation,
                               remat: bool = True, grad_accum: int = 1,
-                              normalize_loss: bool = False):
+                              normalize_loss: bool = False,
+                              param_shardings=None, opt_shardings=None):
     """Memory-lean variant: gradients and the optimizer update run as two
     separate executables, so activations and the f32 optimizer temporaries
     never coexist in HBM.  Enables single-chip 830M training on 16 GB
@@ -186,7 +196,8 @@ def make_train_step_two_phase(cfg: ModelConfig,
         new_params = optax.apply_updates(params, updates)
         keep = lambda new, old: jax.tree.map(
             lambda n, o: jnp.where(ok, n, o), new, old)
-        return keep(new_params, params), keep(new_opt_state, opt_state)
+        return (_constrain(keep(new_params, params), param_shardings),
+                _constrain(keep(new_opt_state, opt_state), opt_shardings))
 
     grads_jit = jax.jit(grads_fn)
     update_jit = jax.jit(update_fn, donate_argnums=(0, 1, 2))

@@ -163,10 +163,19 @@ class Trainer:
                 for k, v in self.params.items()}
             self.tx = optax.multi_transform(
                 {"train": self.tx, "freeze": optax.set_to_zero()}, labels)
+        param_sh = opt_sh = None
         if mesh is not None:
-            from ..parallel.mesh import shard_params
+            from ..parallel.mesh import shard_params, param_shardings
             self.params = shard_params(self.params, mesh)
+            param_sh = param_shardings(self.params, mesh)
         self.opt_state = jax.jit(self.tx.init)(self.params)
+        if mesh is not None and tcfg.zero1:
+            from ..parallel.mesh import zero1_opt_shardings
+            opt_sh = zero1_opt_shardings(self.params, self.opt_state, mesh)
+            if opt_sh is not None:
+                self.opt_state = jax.device_put(self.opt_state, opt_sh)
+                log.info("ZeRO-1: optimizer moments sharded over data=%d",
+                         mesh.shape["data"])
         two_phase = tcfg.two_phase_step or (
             param_count(self.params) > 4e8 and len(jax.devices()) == 1)
         # the reference backprops loss/effective_ntoken for every optimizer
@@ -177,11 +186,13 @@ class Trainer:
             log.info("using two-phase train step (memory-lean)")
             self.step_fn = make_train_step_two_phase(
                 mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps,
-                normalize_loss=normalize)
+                normalize_loss=normalize,
+                param_shardings=param_sh, opt_shardings=opt_sh)
         else:
             self.step_fn = make_train_step(
                 mcfg, self.tx, grad_accum=tcfg.gradient_accumulation_steps,
-                normalize_loss=normalize)
+                normalize_loss=normalize,
+                param_shardings=param_sh, opt_shardings=opt_sh)
         self.rng = jax.random.PRNGKey(tcfg.seed)
 
         from ..utils.profiling import AverageMeter, StepProfiler
