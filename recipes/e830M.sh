@@ -20,6 +20,11 @@ python train_cli.py \
   --codebook-weight 5 1 0.5 0.1 \
   --val-every-n-steps 800 \
   --train-attn chunked \
+  --train-remat attn \
   --seed 1 --tb
 # --train-attn chunked: +16% tokens/s and a higher batch ceiling on v5e
 # (PERF.md training sweep); drop it for bit-exact dense reference numerics
+# --train-remat attn: save the pre-out-proj attention result per layer so
+# the backward skips the second attention forward — +9% tokens/s on v5e
+# (38.2k at B=11; PERF.md remat-policy sweep).  Bit-identical grads vs
+# the default full remat (tests/test_remat_policy.py)
