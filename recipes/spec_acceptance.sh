@@ -11,6 +11,14 @@
 #   STEPS=...        training steps     (default 6000)
 #   PRESET=...       model preset       (default proc50M)
 #   N_TRAIN/N_EVAL   corpus sizes       (default 1800/64)
+#   TWO_STAGE=1      pretrain the base WITHOUT heads, then graft MTP heads
+#                    onto the frozen checkpoint (--mtp-only).  Required for
+#                    giga830M on a 16 GB chip: base + 7 head groups +
+#                    ScaledAdam moments for both do not fit in one joint
+#                    step, but base-only training does (38.2k tok/s with
+#                    --train-remat attn) and the graft then trains ~117M
+#                    head params against the frozen base.
+#   MTP_STEPS=...    graft steps in two-stage mode (default 2500)
 set -e
 cd "$(dirname "$0")/.."
 WORK=${WORK:-/tmp/voicecraft_spec_accept}
@@ -31,10 +39,28 @@ test -d "$WORK/data/train" || \
     --out-dir "$WORK/data" --random-init --codec-bins "$BINS" \
     --text-backend grapheme $PLATFORM_FLAG
 
-python train_cli.py --preset "$PRESET" --exp-dir "$WORK/exp" \
-  --dataset-dir "$WORK/data" --num-steps "$STEPS" \
-  --max-num-tokens "${TOKENS:-12000}" --num-buckets 4 \
-  --n-mtp "$MTP" --val-every-n-steps 1000 $PLATFORM_FLAG
+if [ -n "$TWO_STAGE" ]; then
+  # stage A: base pretrain at full speed (no MTP heads, no mid-run saves —
+  # an 830M orbax save over the device tunnel costs ~10 min)
+  python train_cli.py --preset "$PRESET" --exp-dir "$WORK/exp_base" \
+    --dataset-dir "$WORK/data" --num-steps "$STEPS" \
+    --max-num-tokens "${TOKENS:-8000}" --num-buckets 4 \
+    --val-every-n-steps 100000 \
+    --train-attn chunked --train-remat attn $PLATFORM_FLAG
+  # stage B: graft MTP heads onto the frozen base (reference analogue:
+  # none — the reference has no speculative decoding)
+  python train_cli.py --preset "$PRESET" --exp-dir "$WORK/exp" \
+    --dataset-dir "$WORK/data" --num-steps "${MTP_STEPS:-2500}" \
+    --max-num-tokens "${TOKENS:-8000}" --num-buckets 4 \
+    --n-mtp "$MTP" --mtp-only --init-from "$WORK/exp_base/ckpt_latest" \
+    --val-every-n-steps 100000 \
+    --train-attn chunked --train-remat attn $PLATFORM_FLAG
+else
+  python train_cli.py --preset "$PRESET" --exp-dir "$WORK/exp" \
+    --dataset-dir "$WORK/data" --num-steps "$STEPS" \
+    --max-num-tokens "${TOKENS:-12000}" --num-buckets 4 \
+    --n-mtp "$MTP" --val-every-n-steps 1000 $PLATFORM_FLAG
+fi
 
 python spec_acceptance_cli.py --model "$WORK/exp/ckpt_latest" \
   --eval-dir "$WORK/corpus/eval" --codec-bins "$BINS" \

@@ -78,6 +78,11 @@ def main():
                          "(<0 = sampling temperature; small values, e.g. "
                          "0.1, sharpen q toward the MTP argmax)")
     ap.add_argument("--skip-engine", action="store_true")
+    ap.add_argument("--fp8", action="store_true",
+                    help="weight-only fp8 decoder matmuls (the serving "
+                         "config; utils/quantize.py) — wall-clock numbers "
+                         "then match PERF.md's fp8 ceilings; tok/pass is "
+                         "unchanged up to fp8 rounding of the logits")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     from voicecraft_tpu.utils.jax_setup import setup as _jax_setup
@@ -95,6 +100,9 @@ def main():
     n_mtp = (jax.tree.leaves(params["mtp_heads"])[0].shape[0]
              if "mtp_heads" in params else 0)
     assert n_mtp > 0, "checkpoint has no MTP heads (train_cli --n-mtp)"
+    if args.fp8:
+        from voicecraft_tpu.utils.quantize import quantize_decoder_fp8
+        params = quantize_decoder_fp8(params)
 
     if args.codec is None and args.codec_bins:
         from voicecraft_tpu.models.encodec import EncodecConfig, init_encodec
@@ -131,6 +139,22 @@ def main():
     results["single"]["plain_tokens_per_sec"] = plain_toks / plain_dt
     logging.info("plain single-stream: %d rows in %.2fs", plain_toks,
                  plain_dt)
+
+    # ---- plain lockstep serving baseline at the same lane count ----
+    from voicecraft_tpu.inference.serving import serve_tts_batch
+    sreqs = [(it["x"], it["prompt"]) for it in items[:args.lanes]]
+
+    def run_serving_plain():
+        t0 = time.perf_counter()
+        out = serve_tts_batch(params, cfg, sreqs, scfg, seed=1)
+        frames = sum(g.shape[1] for _, g in out)
+        return frames, time.perf_counter() - t0
+
+    run_serving_plain()                       # compile
+    sframes, sdt = run_serving_plain()
+    results["serving"]["plain_frames_per_sec"] = sframes / sdt
+    logging.info("plain serving B=%d: %.0f frames/s", args.lanes,
+                 sframes / sdt)
 
     for tau in args.taus:
         if tau - 1 > n_mtp:
@@ -195,6 +219,8 @@ def main():
             "tokens_per_pass_per_lane": float(t_acc.sum())
                                         / max(n_passes, 1) / B,
             "frames_per_sec": float(t_acc.sum()) / dt,
+            "speedup_vs_plain": float(t_acc.sum()) / dt
+                                / results["serving"]["plain_frames_per_sec"],
         }
         logging.info(
             "serving tau=%d B=%d: %.2f tok/pass/lane, %.0f frames/s",
@@ -205,9 +231,21 @@ def main():
         if not args.skip_engine:
             from voicecraft_tpu.inference.engine import ContinuousBatcher
             ereqs = [(it["x"], it["prompt"]) for it in items[:2 * B]]
-            eng = ContinuousBatcher(
-                params, cfg, lanes=B, x_pad=x_pad, y_pad=y_pad,
-                gen_max=gen_max, burst=4 * tau, scfg=scfg, seed=1, spec=tau)
+
+            def make_engine():
+                return ContinuousBatcher(
+                    params, cfg, lanes=B, x_pad=x_pad, y_pad=y_pad,
+                    gen_max=gen_max, burst=4 * tau, scfg=scfg, seed=1,
+                    spec=tau)
+
+            # warm pass: the engine's jit fns are lru-cached on geometry,
+            # so one throwaway run keeps (large-model) compile time out of
+            # the measured wall-clock
+            warm = make_engine()
+            for x, y in ereqs[:B]:
+                warm.submit(x, y)
+            warm.run()
+            eng = make_engine()
             for x, y in ereqs:
                 eng.submit(x, y)
             g0 = int(np.asarray(eng._lanes.gstep))
