@@ -20,7 +20,8 @@ from voicecraft_tpu.parallel.mesh import (
     make_mesh, shard_params, param_shardings, shard_batch,
     zero1_opt_shardings)
 from voicecraft_tpu.training.optim import scaled_adam, adamw_reference
-from voicecraft_tpu.training.step import make_train_step
+from voicecraft_tpu.training.step import (make_train_step,
+                                          make_train_step_two_phase)
 
 from __graft_entry__ import _synthetic_batch
 
@@ -29,7 +30,7 @@ def _cfg():
     return dataclasses.replace(tiny_test(), compute_dtype="float32")
 
 
-def _run(cfg, tx, mesh, zero1: bool, n_steps=3, B=8):
+def _run(cfg, tx, mesh, zero1: bool, n_steps=3, B=8, two_phase=False):
     params = init_params(cfg, jax.random.PRNGKey(0))
     batch = _synthetic_batch(cfg, B=B, Sx=16, y_len=40, seed=5)
     param_sh = opt_sh = None
@@ -42,8 +43,8 @@ def _run(cfg, tx, mesh, zero1: bool, n_steps=3, B=8):
         opt_sh = zero1_opt_shardings(params, opt_state, mesh)
         assert opt_sh is not None
         opt_state = jax.device_put(opt_state, opt_sh)
-    step = make_train_step(cfg, tx, param_shardings=param_sh,
-                           opt_shardings=opt_sh)
+    make = make_train_step_two_phase if two_phase else make_train_step
+    step = make(cfg, tx, param_shardings=param_sh, opt_shardings=opt_sh)
     losses = []
     for i in range(n_steps):
         params, opt_state, m = step(params, opt_state, batch,
@@ -89,6 +90,33 @@ def test_zero1_trajectory_matches_replicated(opt):
     for a, b in zip(jax.tree.leaves(p_repl), jax.tree.leaves(p_z1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # the state stayed sharded through the jitted steps (the constraint held)
+    flat_sh = jax.tree.leaves(
+        jax.tree.map(lambda x: x.sharding.spec, opt_z1))
+    assert any("data" in jax.tree.leaves(tuple(s)) for s in flat_sh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_zero1_two_phase_trajectory_matches_replicated():
+    """The >400M production path (two-phase step, trainer auto-selects it)
+    holds the same layout-only invariant — up to f32 accumulation order.
+
+    Unlike the fused step (bit-exact above), the standalone update
+    executable partitions ScaledAdam's global reductions (model norm,
+    param_rms) along the data-sharded moments, so partial sums arrive in
+    a different order than the replicated layout's; measured drift is
+    ~1e-7/step (ulp-level) at highest matmul precision.  Same physics as
+    the tie-awareness note in CLAUDE.md — not a semantic difference.
+    """
+    cfg = _cfg()
+    mesh = make_mesh(4, 2)
+    p_repl, _, l_repl = _run(cfg, scaled_adam(lr=0.05), mesh, zero1=False,
+                             two_phase=True)
+    p_z1, opt_z1, l_z1 = _run(cfg, scaled_adam(lr=0.05), mesh, zero1=True,
+                              two_phase=True)
+    np.testing.assert_allclose(l_repl, l_z1, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_repl), jax.tree.leaves(p_z1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
     flat_sh = jax.tree.leaves(
         jax.tree.map(lambda x: x.sharding.spec, opt_z1))
     assert any("data" in jax.tree.leaves(tuple(s)) for s in flat_sh)
