@@ -171,7 +171,8 @@ def apply_stack(params, x, bias, nhead: int, dropout: float = 0.0, rng=None,
 
     if remat:
         pols = jax.checkpoint_policies
-        policy = {
+        policies = {
+            "full": None,       # jax.checkpoint default: save nothing
             "dots": pols.dots_with_no_batch_dims_saveable,
             # save the pre-out-proj attention result: with chunked train
             # attention (itself inner-checkpointed) this cuts the outer
@@ -179,8 +180,13 @@ def apply_stack(params, x, bias, nhead: int, dropout: float = 0.0, rng=None,
             "attn": pols.save_only_these_names("attn_out"),
             # + the 4*D ffn hidden: kills most remaining recompute FLOPs
             "attn_ffn1": pols.save_only_these_names("attn_out", "ffn1"),
-        }.get(remat_policy)
-        body_fn = jax.checkpoint(body, policy=policy)
+        }
+        if remat_policy not in policies:
+            raise ValueError(
+                f"unknown remat_policy {remat_policy!r}; expected one of "
+                f"{sorted(policies)} (or 'none' gated off by the caller, "
+                "see config.ModelConfig.train_remat)")
+        body_fn = jax.checkpoint(body, policy=policies[remat_policy])
     else:
         body_fn = body
     x, _ = jax.lax.scan(body_fn, x, (params["layers"], layer_rngs))

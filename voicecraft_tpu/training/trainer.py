@@ -176,6 +176,13 @@ class Trainer:
                 self.opt_state = jax.device_put(self.opt_state, opt_sh)
                 log.info("ZeRO-1: optimizer moments sharded over data=%d",
                          mesh.shape["data"])
+            elif mesh.shape["data"] > 1:
+                # e.g. --mtp-only wraps the optimizer in multi_transform,
+                # whose state zero1_opt_shardings doesn't recognise
+                log.warning(
+                    "ZeRO-1 requested but the optimizer state layout is "
+                    "unsupported (%s) — moments stay replicated per data "
+                    "shard", type(self.opt_state).__name__)
         two_phase = tcfg.two_phase_step or (
             param_count(self.params) > 4e8 and len(jax.devices()) == 1)
         # the reference backprops loss/effective_ntoken for every optimizer
