@@ -82,6 +82,13 @@ class ModelConfig:
     # dropout) or "chunked" (online-softmax over key blocks, O(S*chunk)
     # memory, no attention-prob dropout)
     train_attn: str = "dense"
+    # transformer norm / FFN-activation family (reference exposes these via
+    # TransformerEncoderLayer's layer_norm_cls/activation arguments,
+    # transformer.py:179-265, with the icefall variants in scaling.py; the
+    # shipped reference configs leave both at the defaults below —
+    # voicecraft.py:166-174).  See models/scaling.py for the JAX toolbox.
+    norm: str = "layernorm"              # | basicnorm | balancedbasicnorm | identity
+    ffn_activation: str = "relu"         # | gelu | doubleswish | balanceddoubleswish
     # layer-stack rematerialisation policy for the training forward:
     # "full" recomputes the whole layer body in the backward (lowest memory,
     # +1 forward of recompute FLOPs); "dots" saves every matmul output and
@@ -126,6 +133,10 @@ class ModelConfig:
         if self.eos > 0:
             assert self.eos not in (self.audio_pad_token, self.empty_token)
             assert self.n_special >= 4
+        assert self.norm in ("layernorm", "basicnorm", "balancedbasicnorm",
+                             "identity"), self.norm
+        assert self.ffn_activation in ("relu", "gelu", "doubleswish",
+                                       "balanceddoubleswish"), self.ffn_activation
 
     # ---- (de)serialization ---------------------------------------------------
 

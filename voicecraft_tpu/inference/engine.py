@@ -145,9 +145,7 @@ def _lane_decode_step(params, x_t, cache, nhead, x_lens, x_pad, prefix_lens,
         a = trm._proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
         h2 = trm.layer_norm(layer_p["ln2"], x1)
-        h2 = trm._proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
-        h2 = jax.nn.relu(h2)
-        h2 = trm._proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        h2 = trm.ffn_block(layer_p["ffn"], h2)
         return x1 + h2, jnp.stack([k_new, v_new], 0).astype(cache.dtype)
 
     x, kv_new = jax.lax.scan(body, x_t, (params["layers"], cache))

@@ -27,6 +27,7 @@ from ..ops.attention import (mha, decode_attention, decode_attention_self,
                              decode_attention_self_block,
                              decode_attention_multi,
                              decode_attention_multi_block)
+from . import scaling
 
 
 # ---- init --------------------------------------------------------------------
@@ -41,15 +42,51 @@ def _linear_init(key, fan_in, fan_out, dtype):
     return {"w": w, "b": b}
 
 
-def init_layer(key, d_model: int, ffn_dim: int, dtype=jnp.float32):
+def _norm_init(norm: str, d_model: int, dtype):
+    """Parameter pytree per norm family; the STRUCTURE encodes the choice
+    (static under jit), so every forward variant dispatches through
+    :func:`layer_norm` with no signature changes.  Mirrors the reference's
+    ``layer_norm_cls`` argument (reference transformer.py:179-265; norm
+    classes :18-176)."""
+    if norm == "layernorm":
+        return {"g": jnp.ones((d_model,), dtype),
+                "b": jnp.zeros((d_model,), dtype)}
+    if norm == "basicnorm":
+        return scaling.basic_norm_init(dtype=dtype)
+    if norm == "balancedbasicnorm":
+        return {"log_eps_bal": scaling.basic_norm_init(dtype=dtype)["log_eps"]}
+    if norm == "identity":
+        return {}
+    raise ValueError(f"unknown norm {norm!r}; expected layernorm | basicnorm "
+                     "| balancedbasicnorm | identity")
+
+
+# FFN first-projection key name encodes the activation (static pytree
+# structure, same trick as _norm_init; reference transformer.py:691-697
+# _get_activation_fn plus the icefall activations in scaling.py)
+_FFN_ACTS = {
+    "lin1": jax.nn.relu,                      # reference transformer.py:188
+    "lin1_gelu": lambda h: jax.nn.gelu(h, approximate=False),
+    "lin1_dsw": scaling.double_swish,
+    "lin1_bdsw": scaling.balanced_double_swish,
+}
+_FFN_KEY = {"relu": "lin1", "gelu": "lin1_gelu", "doubleswish": "lin1_dsw",
+            "balanceddoubleswish": "lin1_bdsw"}
+
+
+def init_layer(key, d_model: int, ffn_dim: int, dtype=jnp.float32,
+               norm: str = "layernorm", activation: str = "relu"):
     ks = jax.random.split(key, 6)
     # attention in-proj uses torch MultiheadAttention's xavier_uniform_ on the
     # packed [3D, D] matrix (reference activation.py uses _in_proj_packed);
     # we keep separate q/k/v with the same distribution.
     limit = jnp.sqrt(6.0 / (d_model + 3 * d_model))
     qkv = jax.random.uniform(ks[0], (d_model, 3 * d_model), dtype, -limit, limit)
+    if activation not in _FFN_KEY:
+        raise ValueError(f"unknown activation {activation!r}; expected one of "
+                         f"{sorted(_FFN_KEY)}")
     return {
-        "ln1": {"g": jnp.ones((d_model,), dtype), "b": jnp.zeros((d_model,), dtype)},
+        "ln1": _norm_init(norm, d_model, dtype),
         "attn": {
             "wq": qkv[:, :d_model],
             "wk": qkv[:, d_model:2 * d_model],
@@ -59,31 +96,77 @@ def init_layer(key, d_model: int, ffn_dim: int, dtype=jnp.float32):
             "bv": jnp.zeros((d_model,), dtype),
             "out": _linear_init(ks[1], d_model, d_model, dtype),
         },
-        "ln2": {"g": jnp.ones((d_model,), dtype), "b": jnp.zeros((d_model,), dtype)},
+        "ln2": _norm_init(norm, d_model, dtype),
         "ffn": {
-            "lin1": _linear_init(ks[2], d_model, ffn_dim, dtype),
+            _FFN_KEY[activation]: _linear_init(ks[2], d_model, ffn_dim, dtype),
             "lin2": _linear_init(ks[3], ffn_dim, d_model, dtype),
         },
     }
 
 
 def init_stack(key, num_layers: int, d_model: int, ffn_dim: int,
-               dtype=jnp.float32):
+               dtype=jnp.float32, norm: str = "layernorm",
+               activation: str = "relu"):
     keys = jax.random.split(key, num_layers + 1)
-    layers = [init_layer(k, d_model, ffn_dim, dtype) for k in keys[:-1]]
+    layers = [init_layer(k, d_model, ffn_dim, dtype, norm, activation)
+              for k in keys[:-1]]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
-    final_ln = {"g": jnp.ones((d_model,), dtype), "b": jnp.zeros((d_model,), dtype)}
-    return {"layers": stacked, "final_ln": final_ln}
+    # the stack-final norm follows the layer norm choice (the reference
+    # hard-codes LayerNorm there, models/voicecraft.py:175 — but a mixed
+    # BasicNorm/LayerNorm stack is an untrained configuration either way)
+    return {"layers": stacked, "final_ln": _norm_init(norm, d_model, dtype)}
 
 
 # ---- primitives ---------------------------------------------------------------
 
 def layer_norm(p, x, eps: float = 1e-5):
+    """Norm dispatch on param STRUCTURE (static under jit; see _norm_init):
+    {"g","b"} -> LayerNorm, {"log_eps"} -> BasicNorm, {"log_eps_bal"} ->
+    BalancedBasicNorm, {} -> IdentityNorm."""
+    if "log_eps" in p:
+        return scaling.basic_norm(x, p["log_eps"])
+    if "log_eps_bal" in p:
+        return scaling.balanced_basic_norm(x, p["log_eps_bal"])
+    if not p:
+        return x  # IdentityNorm (reference transformer.py:156-176)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
     return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def adaptive_layer_norm_init(key, d_model: int, dtype=jnp.float32,
+                             norm: str = "layernorm"):
+    """AdaptiveLayerNorm params (reference transformer.py:84-115): a
+    d_model -> 2*d_model projection of a conditioning embedding producing
+    per-position scale/shift around an inner norm.  Unused by the VoiceCraft
+    configs (no conditioning embedding exists in the model) — provided for
+    family completeness; see :func:`adaptive_layer_norm`."""
+    return {"project": _linear_init(key, d_model, 2 * d_model, dtype),
+            "norm": _norm_init(norm, d_model, dtype)}
+
+
+def adaptive_layer_norm(p, x, embedding):
+    """weight * norm(x) + bias with (weight, bias) = split(proj(embedding))
+    (reference transformer.py:96-115)."""
+    wb = _proj(embedding, p["project"]["w"], p["project"]["b"])
+    d = wb.shape[-1] // 2
+    weight, bias = wb[..., :d], wb[..., d:]
+    return weight * layer_norm(p["norm"], x) + bias
+
+
+def ffn_block(ffn_p, h, dropout: float = 0.0, rng=None, remat_name=None):
+    """lin1 -> activation -> lin2, with the activation chosen by the first
+    projection's key name (static pytree structure; see _FFN_KEY)."""
+    key = next(k for k in _FFN_ACTS if k in ffn_p)
+    h = _proj(h, ffn_p[key]["w"], ffn_p[key]["b"])
+    h = _FFN_ACTS[key](h)
+    if remat_name is not None:
+        from jax.ad_checkpoint import checkpoint_name
+        h = checkpoint_name(h, remat_name)
+    h = _dropout(h, dropout, rng)
+    return _proj(h, ffn_p["lin2"]["w"], ffn_p["lin2"]["b"])
 
 
 def _proj(x, w, b):
@@ -138,11 +221,7 @@ def apply_layer(p, x, bias, nhead: int, dropout: float = 0.0, rng=None):
     x = x + _dropout(a, dropout, rngs[1])
 
     h = layer_norm(p["ln2"], x)
-    h = _proj(h, p["ffn"]["lin1"]["w"], p["ffn"]["lin1"]["b"])
-    h = jax.nn.relu(h)                      # reference transformer.py:188 (F.relu)
-    h = checkpoint_name(h, "ffn1")
-    h = _dropout(h, dropout, rngs[2])
-    h = _proj(h, p["ffn"]["lin2"]["w"], p["ffn"]["lin2"]["b"])
+    h = ffn_block(p["ffn"], h, dropout, rngs[2], remat_name="ffn1")
     x = x + _dropout(h, dropout, rngs[3])
     return x
 
@@ -219,9 +298,7 @@ def prefill(params, x, bias, cache, nhead: int):
         a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
         h2 = layer_norm(layer_p["ln2"], x1)
-        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
-        h2 = jax.nn.relu(h2)
-        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        h2 = ffn_block(layer_p["ffn"], h2)
         out = x1 + h2
         kv = jnp.stack([k.reshape(B, S, H, Dh), v.reshape(B, S, H, Dh)], axis=0)
         return out, kv
@@ -260,9 +337,7 @@ def decode_step(params, x_t, cache, pos, nhead: int,
         a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
         h2 = layer_norm(layer_p["ln2"], x1)
-        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
-        h2 = jax.nn.relu(h2)
-        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        h2 = ffn_block(layer_p["ffn"], h2)
         out = x1 + h2
         return out, jnp.stack([k_slab, v_slab], axis=0)
 
@@ -306,9 +381,7 @@ def decode_step_fast(params, x_t, cache, pos, nhead: int,
                         layer_p["ffn"]["lin2"]["w"],
                         layer_p["ffn"]["lin2"]["b"])[:, None]
         else:
-            h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
-            h2 = jax.nn.relu(h2)
-            h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+            h2 = ffn_block(layer_p["ffn"], h2)
         out = x1 + h2
         kv = jnp.stack([k_new, v_new], axis=0).astype(cache.dtype)  # [2,B,1,H,Dh]
         return out, kv
@@ -355,9 +428,7 @@ def decode_step_block(params, x_t, cache, pos, nhead: int,
         a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
         h2 = layer_norm(layer_p["ln2"], x1)
-        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
-        h2 = jax.nn.relu(h2)
-        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        h2 = ffn_block(layer_p["ffn"], h2)
         out = x1 + h2
         kv = jnp.stack([k_new, v_new], axis=0).astype(cache.dtype)  # [2,B,T,H,Dh]
         return out, kv
@@ -403,9 +474,7 @@ def decode_step_multi_block(params, x_t, cache, offsets, nhead: int,
         a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
         h2 = layer_norm(layer_p["ln2"], x1)
-        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
-        h2 = jax.nn.relu(h2)
-        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        h2 = ffn_block(layer_p["ffn"], h2)
         out = x1 + h2
         kv = jnp.stack([k_new, v_new], axis=0).astype(cache.dtype)
         return out, kv
@@ -438,9 +507,7 @@ def decode_step_multi(params, x_t, cache, pos, nhead: int,
         a = _proj(a, layer_p["attn"]["out"]["w"], layer_p["attn"]["out"]["b"])
         x1 = h_in + a
         h2 = layer_norm(layer_p["ln2"], x1)
-        h2 = _proj(h2, layer_p["ffn"]["lin1"]["w"], layer_p["ffn"]["lin1"]["b"])
-        h2 = jax.nn.relu(h2)
-        h2 = _proj(h2, layer_p["ffn"]["lin2"]["w"], layer_p["ffn"]["lin2"]["b"])
+        h2 = ffn_block(layer_p["ffn"], h2)
         out = x1 + h2
         kv = jnp.stack([k_new, v_new], axis=0).astype(cache.dtype)
         return out, kv

@@ -84,7 +84,8 @@ def init_params(cfg: ModelConfig, key) -> dict:
         "alpha_text": jnp.ones((), dtype),
         "alpha_audio": jnp.ones((), dtype),
         "decoder": trm.init_stack(keys[2 + K], cfg.num_decoder_layers, D,
-                                  cfg.ffn_dim, dtype),
+                                  cfg.ffn_dim, dtype, norm=cfg.norm,
+                                  activation=cfg.ffn_activation),
         "heads": heads,
     }
     if cfg.n_mtp > 0:

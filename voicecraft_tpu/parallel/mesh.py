@@ -50,9 +50,9 @@ def param_pspecs(params) -> dict:
             return P(None, "model", None)          # row-parallel
         if "attn/out/b" in ks:
             return P()
-        if "ffn/lin1/w" in ks:
+        if "ffn/lin1" in ks and ks.endswith("/w"):   # lin1 | lin1_gelu | lin1_dsw...
             return P(None, None, "model")
-        if "ffn/lin1/b" in ks:
+        if "ffn/lin1" in ks and ks.endswith("/b"):
             return P(None, "model")
         if "ffn/lin2/w" in ks:
             return P(None, "model", None)

@@ -68,10 +68,10 @@ def quantize_decoder_fp8(params: dict, pack_qkv: bool = False) -> dict:
     attn["out"] = {"w": _quantize_matrix(attn["out"]["w"]),
                    "b": attn["out"]["b"]}
     layers["attn"] = attn
-    ffn = {"lin1": {"w": _quantize_matrix(layers["ffn"]["lin1"]["w"]),
-                    "b": layers["ffn"]["lin1"]["b"]},
-           "lin2": {"w": _quantize_matrix(layers["ffn"]["lin2"]["w"]),
-                    "b": layers["ffn"]["lin2"]["b"]}}
+    # the first projection's key name encodes the activation (see
+    # models/transformer.py _FFN_KEY); quantize whichever variant is present
+    ffn = {k: {"w": _quantize_matrix(v["w"]), "b": v["b"]}
+           for k, v in layers["ffn"].items()}
     layers["ffn"] = ffn
     dec["layers"] = layers
     out["decoder"] = dec
