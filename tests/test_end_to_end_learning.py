@@ -23,10 +23,17 @@ from voicecraft_tpu.inference.tts import inference_tts
 from voicecraft_tpu.models.voicecraft import SamplingConfig
 
 
-def test_memorize_and_decode():
+@pytest.mark.parametrize("toolbox", [{}, {"norm": "basicnorm",
+                                         "ffn_activation": "doubleswish"}],
+                         ids=["layernorm_relu", "basicnorm_doubleswish"])
+def test_memorize_and_decode(toolbox):
+    """The toolbox variant additionally proves the icefall norm/activation
+    family (models/scaling.py) trains end-to-end: BasicNorm's learnable eps
+    and DoubleSwish's custom-vjp derivative sit inside ScaledAdam + the
+    jitted train step, and decode dispatch matches training."""
     cfg = dataclasses.replace(
         tiny_test(), compute_dtype="float32", d_model=128,
-        audio_embedding_dim=128, num_decoder_layers=2, nhead=4)
+        audio_embedding_dim=128, num_decoder_layers=2, nhead=4, **toolbox)
     rng = np.random.default_rng(0)
     K = cfg.n_codebooks
 
