@@ -78,6 +78,11 @@ def main():
                          "(<0 = sampling temperature; small values, e.g. "
                          "0.1, sharpen q toward the MTP argmax)")
     ap.add_argument("--skip-engine", action="store_true")
+    ap.add_argument("--skip-single", action="store_true",
+                    help="measure only serving/engine (skips the "
+                         "single-stream loops and their compiles — useful "
+                         "for lane sweeps where single-stream numbers are "
+                         "already on record)")
     ap.add_argument("--fp8", action="store_true",
                     help="weight-only fp8 decoder matmuls (the serving "
                          "config; utils/quantize.py) — wall-clock numbers "
@@ -134,11 +139,12 @@ def main():
             toks += gen.shape[1] + cfg.n_codebooks  # delayed rows incl. eog
         return toks, time.perf_counter() - t0
 
-    run_single_plain()                        # compile
-    plain_toks, plain_dt = run_single_plain()
-    results["single"]["plain_tokens_per_sec"] = plain_toks / plain_dt
-    logging.info("plain single-stream: %d rows in %.2fs", plain_toks,
-                 plain_dt)
+    if not args.skip_single:
+        run_single_plain()                    # compile
+        plain_toks, plain_dt = run_single_plain()
+        results["single"]["plain_tokens_per_sec"] = plain_toks / plain_dt
+        logging.info("plain single-stream: %d rows in %.2fs", plain_toks,
+                     plain_dt)
 
     # ---- shared serving inputs: composed ONCE, with serve_tts_batch's
     # special_first shift (serving.py:390) so plain and spec decode the
@@ -202,17 +208,19 @@ def main():
                 passes += st["passes"]
             return toks, passes, time.perf_counter() - t0
 
-        run_single_spec()                     # compile
-        toks, passes, dt = run_single_spec()
-        results["single"][tau] = {
-            "tokens_per_pass": toks / max(passes, 1),
-            "tokens_per_sec": toks / dt,
-            "speedup_vs_plain": (toks / dt) / results["single"][
-                "plain_tokens_per_sec"],
-        }
-        logging.info("single tau=%d: %.2f tok/pass, %.0f tok/s (%.2fx plain)",
-                     tau, toks / max(passes, 1), toks / dt,
-                     results["single"][tau]["speedup_vs_plain"])
+        if not args.skip_single:
+            run_single_spec()                 # compile
+            toks, passes, dt = run_single_spec()
+            results["single"][tau] = {
+                "tokens_per_pass": toks / max(passes, 1),
+                "tokens_per_sec": toks / dt,
+                "speedup_vs_plain": (toks / dt) / results["single"][
+                    "plain_tokens_per_sec"],
+            }
+            logging.info(
+                "single tau=%d: %.2f tok/pass, %.0f tok/s (%.2fx plain)",
+                tau, toks / max(passes, 1), toks / dt,
+                results["single"][tau]["speedup_vs_plain"])
 
         # ---- lockstep spec serving ----
         plain_fps = plain_serving_baseline()

@@ -91,6 +91,68 @@ def test_row_verify_overridden_rows_always_accept():
         assert 0.5 * np.abs(freq - p[k]).sum() < 0.04, k
 
 
+def test_accepted_slots_match_fed_embeddings():
+    """The core soundness invariant of ANY speculative pass: every accepted
+    slot's EMITTED row equals the row that was FED to the block forward —
+    otherwise later slots (and the carried h/logits) were conditioned on a
+    token that was never emitted.  Exact mode enforces this by definition;
+    stochastic mode must enforce it explicitly because the finaliser can
+    rewrite the raw draw (row-0 stop check, eog cascade) on slots whose p/q
+    rows all auto-accepted.  Lanes are forged into exactly those states:
+    mid-eog-cascade, at the length cap, and in the forced-empty window."""
+    from voicecraft_tpu.inference.spec_common import (make_lane_sampler,
+                                                      spec_verify_pass)
+    from voicecraft_tpu.models.voicecraft import MAX_POS, sine_table
+
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32", n_mtp=3)
+    params = vc.init_params(cfg, jax.random.PRNGKey(0))
+    K, D, card = cfg.n_codebooks, cfg.d_model, cfg.audio_vocab_size + cfg.n_special
+    cap_mult = cfg.encodec_sr // 5
+    tau, B = 4, 4
+    scfg = SamplingConfig(top_k=0, top_p=1.0, temperature=1.0,
+                          silence_tokens=(), spec_sampling="stochastic")
+    sample_lanes = make_lane_sampler(cfg, scfg, cap_mult)
+    pe = jnp.asarray(sine_table(MAX_POS, D), jnp.float32)
+    alpha_a = params["alpha_audio"].astype(jnp.float32)
+
+    # lane 0: mid-cascade; lane 1: clean; lane 2: at the length cap
+    # (y_pos > x_len*cap_mult fires the row-0 stop rewrite every slot);
+    # lane 3: early span (forced-empty rows active)
+    eog = jnp.zeros((B, K), bool).at[0, 0].set(True)
+    cng = jnp.asarray([20, 20, 20, 1], jnp.int32)
+    x_lens = jnp.asarray([40, 40, 1, 40], jnp.int32)
+    y_pos0 = jnp.asarray([30, 30, cap_mult + 1, 30], jnp.int32)
+
+    def one_pass(key):
+        k_lg, k_h, k_tok = jax.random.split(key, 3)
+        logits = jax.random.normal(k_lg, (B, K, card), jnp.float32) * 2.0
+        h = jax.random.normal(k_h, (B, D), jnp.float32)
+        tok_key = lambda i: jax.vmap(
+            lambda b: jax.random.fold_in(jax.random.fold_in(k_tok, b), i))(
+            jnp.arange(B))
+        out = spec_verify_pass(
+            params, cfg, sample_lanes, tau=tau,
+            gate=jnp.ones((B,), bool), tok_key=tok_key, y_pos0=y_pos0,
+            x_lens=x_lens, logits=logits, h=h, eog=eog, cng=cng,
+            consec=jnp.zeros((B,), jnp.int32),
+            prev=jnp.full((B,), -1, jnp.int32), t=jnp.asarray(0, jnp.int32),
+            accept_cap=10_000, pe=pe, alpha_a=alpha_a, dtype=jnp.float32,
+            forward=lambda feed: feed, scfg=scfg, is_tts=True,
+            cap_mult=cap_mult, pending=jnp.zeros((B, K), jnp.int32),
+            has_pending=jnp.zeros((B,), bool))
+        return out["blk"], out["tokens_fed"], out["n_acc"]
+
+    one_jit = jax.jit(one_pass)
+    for trial in range(24):
+        blk, fed, n_acc = jax.tree.map(
+            np.asarray, one_jit(jax.random.PRNGKey(100 + trial)))
+        for b in range(B):
+            for i in range(1, int(n_acc[b])):
+                np.testing.assert_array_equal(
+                    blk[b, i], fed[b, i],
+                    err_msg=f"trial {trial} lane {b} slot {i}: emitted != fed")
+
+
 def test_use_stochastic_verify_gating():
     g = SamplingConfig(temperature=0.0, spec_sampling="stochastic")
     s = SamplingConfig(temperature=1.0, spec_sampling="stochastic")

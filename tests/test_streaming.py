@@ -143,3 +143,30 @@ def test_streaming_decoder_flush_short_utterance(setup):
     assert dec.feed(codes).shape == (0,)
     audio = dec.flush()
     np.testing.assert_array_equal(audio, full)
+
+
+def test_streaming_decoder_flush_is_terminal(setup):
+    """flush() is idempotent and makes the stream terminal: a second
+    flush() emits nothing (no re-emission of the held-back prefix) and a
+    later feed() raises instead of silently producing samples inconsistent
+    with the already-flushed ones (the degenerate flush decodes with a
+    sequence-start reflect window that later frames would change)."""
+    import pytest as _pytest
+    _, _, ccfg, cparams, _, _ = setup
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, ccfg.codebook_size,
+                         (ccfg.n_q, 4)).astype(np.int32)
+    dec = ec.StreamingDecoder(cparams, ccfg)
+    dec.feed(codes)
+    first = dec.flush()
+    assert first.shape[0] == 4 * ccfg.hop_length
+    assert dec.flush().shape == (0,)          # idempotent
+    with _pytest.raises(RuntimeError):
+        dec.feed(codes)
+    # the normal (nothing held back) path is terminal too
+    dec2 = ec.StreamingDecoder(cparams, ccfg, chunk_frames=16)
+    dec2.feed(rng.integers(0, ccfg.codebook_size,
+                           (ccfg.n_q, 32)).astype(np.int32))
+    dec2.flush()
+    with _pytest.raises(RuntimeError):
+        dec2.feed(codes)

@@ -83,16 +83,21 @@ def stochastic_row_verify(key, la, dlg, d_tok, overridden,
     la [K, card]: the plain loop's ADJUSTED logits at this slot (the target
     distribution is p = softmax(filter(la/T))).  dlg [K, card]: the raw MTP
     draft logits the proposal was sampled from (q = softmax(filter(dlg/T))).
-    d_tok [K]: the proposed draft tokens.  overridden [K]: rows whose
-    finalised value ignores the raw sample (forced empties / the eog
-    cascade) — they are auto-accepted with a fresh p-draw, which preserves
-    the raw law and never changes the emitted value.
+    d_tok [K]: the proposed draft tokens.  overridden [K]: rows the
+    finaliser either forces deterministically (forced empties, the
+    cascade's rows <= n_eog) or replaces with the raw draw (the cascade's
+    rows > n_eog) — the p/q accept test is meaningless there, so they take
+    a fresh p-draw, which preserves the raw law in both cases.
 
     Classic rejection step (PAPERS.md arXiv 2211.17192 / 2302.01318),
     per row: accept d w.p. min(1, p(d)/q(d)); otherwise draw from the
     residual max(p - q, 0)/Z.  The returned raw row is distributed EXACTLY
-    as p either way.  ok = all non-overridden rows accepted (the slot's
-    fed draft embedding was right only if every row kept the draft).
+    as p either way.  ok = all non-overridden rows accepted.  NOTE: ok is
+    necessary but not sufficient for slot acceptance — the caller
+    additionally requires finalise(raw) == fed draft row-wise, because a
+    fresh f_tok draw on a cascade row (or a finaliser rewrite such as the
+    row-0 stop check) changes the emitted value away from the embedding
+    the block forward consumed.
     """
     K = la.shape[0]
     kp, kr, kf = jax.random.split(key, 3)
@@ -255,7 +260,18 @@ def spec_verify_pass(params, cfg: ModelConfig, sample_lanes, *,
                     yp, xl))(
                 la_i, raw_i, eog_c, cng_c, consec_c, prev_c, y_pos0 + i,
                 x_lens)
-            match = ok_i
+            # A slot may only be accepted when the FINALISED token equals
+            # the FED draft row-wise (exact mode's rule).  Finalisation can
+            # rewrite the raw value — the row-0 stop check (argmax-eog /
+            # length cap) and the eog cascade, whose rows > n_eog keep the
+            # fresh f_tok draw — and emitting a value that differs from the
+            # embedding the block forward consumed would condition every
+            # later slot (and the carried h/logits) on the wrong token,
+            # silently breaking distribution-exactness at span/utterance
+            # tails.  raw_i is still a valid p-draw for this position, so
+            # the ordinary rejection path below carries it as pending and
+            # the next pass feeds + finalises + emits it as slot 0.
+            match = ok_i & jnp.all(ti == tokens_b[:, i], axis=1)
         else:
             ti, eog_i, consec_i, prev_i = sample_lanes(
                 tok_key(i), logits_blk[:, i - 1], eog_c, cng_c,
@@ -299,7 +315,10 @@ def spec_verify_pass(params, cfg: ModelConfig, sample_lanes, *,
     out = {"blk": jnp.stack(emitted, axis=1), "n_acc": n_acc,
            "eog": eog_f, "cng": cng_f, "consec": consec_f, "prev": prev_f,
            "logits_next": logits_next, "h_next": h_next,
-           "h_blk": h_blk, "logits_blk": logits_blk}
+           "h_blk": h_blk, "logits_blk": logits_blk,
+           # the rows actually FED to the block forward — every accepted
+           # slot's emitted row must equal its fed row (tested invariant)
+           "tokens_fed": tokens_b}
     if stochastic:
         out["pending"] = pend_out
         out["has_pending"] = jnp.where(gate, has_pend_out, has_pending)

@@ -516,6 +516,7 @@ class StreamingDecoder:
         self.state = None              # carries for frames consumed so far
         self.state_frames = 0          # frames consumed into self.state
         self.emitted = 0               # samples returned so far (global)
+        self.flushed = False           # flush() makes the stream terminal
 
     def _run(self, frames: np.ndarray, persist: bool):
         """Decode ``frames`` (shape [n_q, chunk]) on top of self.state."""
@@ -532,6 +533,13 @@ class StreamingDecoder:
         return np.asarray(wav[0])
 
     def feed(self, new_frames: np.ndarray) -> np.ndarray:
+        if self.flushed:
+            # the degenerate flush() branch decodes the sub-minimum prefix
+            # with the sequence-START reflect pad; frames arriving after it
+            # would re-decode that window differently, so the already-
+            # emitted samples could never be made consistent again
+            raise RuntimeError("StreamingDecoder.feed() after flush(): "
+                               "the stream is terminal")
         hop = self.cfg.hop_length
         if new_frames.shape[1]:
             self.pending = np.concatenate(
@@ -562,13 +570,18 @@ class StreamingDecoder:
         return np.concatenate(out).astype(np.float32)
 
     def flush(self) -> np.ndarray:
-        """Emit anything still held back.  Only the degenerate
+        """Emit anything still held back and make the stream terminal
+        (idempotent; a later feed() raises).  Only the degenerate
         sub-STREAM_MIN_FIRST whole-utterance case holds samples (feed
         emits everything else eagerly); decode it in one shot."""
         r = self.pending.shape[1]
-        if self.state is None and 0 < r < STREAM_MIN_FIRST:
+        hold = (not self.flushed and self.state is None
+                and 0 < r < STREAM_MIN_FIRST)
+        self.flushed = True
+        if hold:
+            held, self.pending = self.pending, self.pending[:, :0]
             wav = np.asarray(decode(
-                self.params, jnp.asarray(self.pending[None]), self.cfg))[0]
+                self.params, jnp.asarray(held[None]), self.cfg))[0]
             self.emitted = r * self.cfg.hop_length
             return wav.astype(np.float32)
         return np.zeros((0,), np.float32)
