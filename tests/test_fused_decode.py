@@ -51,3 +51,22 @@ def test_fused_ffn_batch_rows():
     got = _fused_interp(x, w1, b1, w2, b2, tile_f=512)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ffn_rejects_non_relu_models():
+    """The Pallas fused FFN hard-codes relu; decode_step_fast must reject a
+    model built with another activation with a clear error instead of a
+    KeyError on the activation-encoded first-projection key."""
+    import dataclasses
+    from voicecraft_tpu.config import tiny_test
+    from voicecraft_tpu.models import transformer as trm
+    from voicecraft_tpu.models.voicecraft import init_params
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32",
+                              ffn_activation="doubleswish")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    cache = trm.init_kv_cache(cfg.num_decoder_layers, 1, 32, cfg.nhead,
+                              cfg.head_dim, jnp.float32)
+    x_t = jnp.zeros((1, 1, cfg.d_model), jnp.float32)
+    with pytest.raises(ValueError, match="relu"):
+        trm.decode_step_fast(params["decoder"], x_t, cache,
+                             jnp.asarray(4), cfg.nhead, fused_ffn=True)

@@ -310,10 +310,35 @@ def test_sr_linear_parity(ref_scaling):
     x = rng.normal(size=(4, 10)).astype(np.float32)
     with torch.no_grad():
         theirs = m(torch.tensor(x)).numpy()
-        u_theirs = m.u.numpy()          # updated in-place by get_sigma
+        # .copy(): m.u.numpy() is a VIEW of the buffer, which the next
+        # forward mutates in-place again
+        u_theirs = m.u.numpy().copy()   # updated in-place by get_sigma
     ours, new_u = S.sr_linear_apply(p, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(new_u), u_theirs, rtol=1e-4, atol=1e-5)
+
+    # GRADIENT parity: sigma differentiates through W in the reference
+    # (get_sigma's einsum runs outside no_grad) — the spectral-
+    # regularisation force of arXiv 2303.06296.  Same u buffer on both
+    # sides (torch mutated m.u above; p["u"] reloads the pre-forward one).
+    m.train()
+    xt = torch.tensor(x, requires_grad=False)
+    out = m(xt).sum()
+    out.backward()
+    gw_t = m.weight.grad.numpy().T          # [out,in] -> [in,out]
+    gs_t = m.sigma.grad.numpy()
+    # the train forward started its power iteration from u_theirs (the
+    # buffer state the eval forward left behind)
+    p2 = dict(p, u=jnp.asarray(u_theirs.copy()))
+
+    def loss(q):
+        y, _ = S.sr_linear_apply(dict(p2, w=q["w"], sigma=q["sigma"]), x)
+        return jnp.sum(y)
+
+    g = jax.grad(loss)({"w": p2["w"], "sigma": p2["sigma"]})
+    np.testing.assert_allclose(np.asarray(g["w"]), gw_t, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g["sigma"]), gs_t, rtol=1e-4,
+                               atol=1e-5)
 
 
 def test_random_clamp_and_cast():
@@ -383,6 +408,53 @@ def test_model_wiring_train_and_decode(norm, act):
     assert gen.shape[0] == cfg.n_codebooks and gen.shape[1] > 0
     np.testing.assert_array_equal(full[:, :y.shape[1]], y)
     np.testing.assert_array_equal(gen, gen2)
+
+
+def test_norm_family_init_matches_reference_wrappers():
+    """The transformer family wrappers construct _BasicNorm with
+    eps=layer_norm_eps=1e-5 (reference transformer.py:112-121, 134-159),
+    NOT the icefall library default 0.25; and layer_norm_cls=IdentityNorm
+    forces the pre-FFN norm to BalancedBasicNorm (transformer.py:245-252)
+    while the stack-final norm is always the caller's LayerNorm
+    (voicecraft.py:175)."""
+    from voicecraft_tpu.models import transformer as trm
+    k = jax.random.PRNGKey(0)
+    lyr = trm.init_layer(k, 16, 32, norm="basicnorm")
+    np.testing.assert_allclose(float(lyr["ln1"]["log_eps"]), np.log(1e-5),
+                               rtol=1e-6)
+    # library default stays the icefall 0.25
+    np.testing.assert_allclose(float(S.basic_norm_init()["log_eps"]),
+                               np.log(0.25), rtol=1e-6)
+    lyr = trm.init_layer(k, 16, 32, norm="identity")
+    assert lyr["ln1"] == {}                       # IdentityNorm pre-attn
+    assert "log_eps_bal" in lyr["ln2"]            # BalancedBasicNorm pre-FFN
+    np.testing.assert_allclose(float(lyr["ln2"]["log_eps_bal"]),
+                               np.log(1e-5), rtol=1e-6)
+    stack = trm.init_stack(k, 2, 16, 32, norm="identity")
+    assert set(stack["final_ln"]) == {"g", "b"}   # LayerNorm final
+
+
+def test_basic_norm_train_ballast():
+    """train=True applies the expected-ballast form of the reference's
+    stochastic eps repair (reference scaling.py:495-503: w.p. 0.25 clamp
+    log-eps into [-3, 3]): identity for in-range log-eps, the scheme's
+    expected ballast for runaway values — with a nonzero gradient path back
+    into range."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 16)),
+                    jnp.float32)
+    in_range = jnp.asarray(-1.0)
+    np.testing.assert_array_equal(
+        np.asarray(S.basic_norm(x, in_range, train=True)),
+        np.asarray(S.basic_norm(x, in_range, train=False)))
+    runaway = jnp.asarray(np.log(1e-5))           # the family init, < -3
+    y = np.asarray(S.basic_norm(x, runaway, train=True))
+    ballast = 0.75 * 1e-5 + 0.25 * np.exp(-3.0)
+    ms = np.mean(np.asarray(x) ** 2, axis=-1, keepdims=True)
+    np.testing.assert_allclose(y, np.asarray(x) / np.sqrt(ms + ballast),
+                               rtol=1e-5)
+    g = jax.grad(lambda le: jnp.sum(S.basic_norm(x, le, train=True) ** 2))(
+        runaway)
+    assert float(jnp.abs(g)) > 0.0                # recoverable parameter
 
 
 def test_adaptive_layer_norm_parity(ref_scaling):

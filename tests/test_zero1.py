@@ -128,6 +128,42 @@ def test_zero1_two_phase_trajectory_matches_replicated():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_zero1_multi_transform_mtp_only():
+    """--mtp-only wraps the optimizer in optax.multi_transform; given the
+    trainer's labels pytree, ZeRO-1 recurses into the masked ScaledAdam
+    (whose state holds one _LeafState per TRAINED leaf) and shards the head
+    moments — exactly the >400M graft runs where optimizer memory matters."""
+    import optax
+    cfg = dataclasses.replace(_cfg(), n_mtp=2)
+    mesh = make_mesh(4, 2)
+    params = shard_params(init_params(cfg, jax.random.PRNGKey(0)), mesh)
+    labels = {k: jax.tree.map(
+        lambda _: "train" if k == "mtp_heads" else "freeze", v)
+        for k, v in params.items()}
+    tx = optax.multi_transform(
+        {"train": scaled_adam(lr=0.05), "freeze": optax.set_to_zero()},
+        labels)
+    opt_state = jax.jit(tx.init)(params)
+    assert zero1_opt_shardings(params, opt_state, mesh) is None  # no labels
+    sh = zero1_opt_shardings(params, opt_state, mesh, labels=labels)
+    assert sh is not None
+    placed = jax.device_put(opt_state, sh)
+    inner = placed.inner_states["train"].inner_state
+    n_split = sum(
+        1 for leaf in jax.tree.leaves(inner)
+        if hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated
+        and leaf.addressable_shards[0].data.shape != leaf.shape)
+    assert n_split >= 4    # delta+exp_avg_sq of the mtp head tensors
+    # the sharded masked state still drives updates: frozen subtree zero,
+    # trained subtree live
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd, _ = jax.jit(tx.update)(grads, placed, params)
+    assert float(jnp.abs(jax.tree.leaves(upd["mtp_heads"])[0]).max()) > 0
+    assert all(float(jnp.abs(l).max()) == 0
+               for l in jax.tree.leaves(upd["decoder"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_zero1_unsupported_state_returns_none():
     import optax
     cfg = _cfg()

@@ -116,20 +116,33 @@ double_swish.defvjp(_dsw_fwd, _dsw_bwd)
 # BasicNorm (reference scaling.py:366-429)
 # ---------------------------------------------------------------------------
 
-def basic_norm(x, log_eps, channel_dim: int = -1):
+def basic_norm(x, log_eps, channel_dim: int = -1, train: bool = False):
     """LayerNorm replacement without mean subtraction or gain/bias:
 
         y = x * (mean(x^2, channel) + exp(log_eps))**-0.5
 
-    ``log_eps`` is a learnable scalar (init log(0.25), reference
-    scaling.py:477-480 in-class).  The reference's train-time stochastic
-    clamp of eps into [eps_min, eps_max] (scaling.py:495-503) is a repair
-    mechanism for runaway eps; apply :func:`clamp_log_eps` between optimizer
-    steps for the same effect deterministically.  Stats in f32.
+    ``log_eps`` is a learnable scalar (library init log(0.25), reference
+    scaling.py:477-480 in-class; the transformer family wrappers init it to
+    log(1e-5), reference transformer.py:112-121).
+
+    ``train=True`` applies the deterministic expected-ballast stand-in for
+    the reference's train-time stochastic eps repair (scaling.py:495-503:
+    with probability 0.25 each forward, log-eps is clamped into
+    [eps_min, eps_max] = [-3, 3]): the ballast becomes
+    0.75*exp(log_eps) + 0.25*exp(clip(log_eps, -3, 3)).  For in-range
+    log_eps this is exactly exp(log_eps) (the clamp is the identity), so
+    eval == train there; for runaway values the forward uses the stochastic
+    scheme's EXPECTED ballast and the unclamped 0.75 share carries the same
+    expected gradient that lets the parameter recover.  Stats in f32.
     """
     xf = x.astype(jnp.float32)
     ms = jnp.mean(xf * xf, axis=channel_dim, keepdims=True)
-    scale = jax.lax.rsqrt(ms + jnp.exp(log_eps.astype(jnp.float32)))
+    le = log_eps.astype(jnp.float32)
+    if train:
+        ballast = 0.75 * jnp.exp(le) + 0.25 * jnp.exp(jnp.clip(le, -3.0, 3.0))
+    else:
+        ballast = jnp.exp(le)
+    scale = jax.lax.rsqrt(ms + ballast)
     return (xf * scale).astype(x.dtype)
 
 
@@ -139,9 +152,13 @@ def basic_norm_init(eps: float = 0.25, dtype=jnp.float32):
 
 
 def clamp_log_eps(log_eps, eps_min: float = -3.0, eps_max: float = 3.0):
-    """Deterministic stand-in for BasicNorm's stochastic eps clamp
-    (reference scaling.py:495-503): project the parameter back into range
-    (call on the param between steps, not inside the differentiated fwd)."""
+    """Hard projection of the log-eps parameter into range.  NOTE: the
+    training path does NOT use this — :func:`basic_norm` with ``train=True``
+    applies the expected-ballast form of the reference's stochastic clamp
+    (scaling.py:495-503) inside the forward instead, which preserves the
+    reference's init regime (the family wrappers init log-eps to log(1e-5),
+    far below eps_min; a hard projection would destroy that).  Kept as a
+    library utility for icefall-style recipes that do want the projection."""
     return jnp.clip(log_eps, eps_min, eps_max)
 
 
@@ -257,12 +274,14 @@ def balanced_double_swish(x, d_model: Optional[int] = None,
     return double_swish(activation_balancer(x, cfg))
 
 
-def balanced_basic_norm(x, log_eps, channel_dim: int = -1):
+def balanced_basic_norm(x, log_eps, channel_dim: int = -1,
+                        train: bool = False):
     """ActivationBalancer(min_positive=0.45, max_positive=0.55, max_abs=6.0)
     -> BasicNorm (reference transformer.py:133-154 BalancedBasicNorm)."""
     cfg = BalancerConfig(channel_dim=channel_dim, min_positive=0.45,
                          max_positive=0.55, max_abs=6.0)
-    return basic_norm(activation_balancer(x, cfg), log_eps, channel_dim)
+    return basic_norm(activation_balancer(x, cfg), log_eps, channel_dim,
+                      train=train)
 
 
 # ---------------------------------------------------------------------------
@@ -521,12 +540,17 @@ def sr_linear_apply(p, x):
     scaling.py:573-580)."""
     w = p["w"].astype(jnp.float32)                 # [in, out]
     u = p["u"]
-    v = w.T @ u                                    # torch weight.mv(u): [out]
+    # the power-iteration vector updates are buffer writes (reference runs
+    # them under no_grad, scaling.py:573-580) ...
+    v = jax.lax.stop_gradient(w).T @ u             # torch weight.mv(u): [out]
     v = v / jnp.linalg.norm(v)
-    new_u = w @ v                                  # torch weight.T.mv(v)
+    new_u = jax.lax.stop_gradient(w) @ v           # torch weight.T.mv(v)
     new_u = new_u / jnp.linalg.norm(new_u)
+    # ... but sigma itself DIFFERENTIATES through W (the reference computes
+    # the einsum outside no_grad): d sigma / dW = u' v^T, which is the
+    # spectral-regularisation force of arXiv 2303.06296 — stop-gradding it
+    # silently drops the method
     sigma = jnp.einsum("c,dc,d->", v, w, new_u)    # v^T W u' (W torch [out,in])
-    sigma = jax.lax.stop_gradient(sigma)
     weight = (p["sigma"].astype(jnp.float32) / sigma) * w
     y = jnp.dot(x.astype(jnp.float32), weight)
     if "b" in p:

@@ -51,10 +51,15 @@ def _norm_init(norm: str, d_model: int, dtype):
     if norm == "layernorm":
         return {"g": jnp.ones((d_model,), dtype),
                 "b": jnp.zeros((d_model,), dtype)}
+    # the reference family wrappers construct their inner _BasicNorm with
+    # eps=layer_norm_eps=1e-5 (reference transformer.py:112-121, 134-159,
+    # 245-252) — NOT the icefall library default 0.25 (which stays the
+    # default of scaling.basic_norm_init itself)
     if norm == "basicnorm":
-        return scaling.basic_norm_init(dtype=dtype)
+        return scaling.basic_norm_init(eps=1e-5, dtype=dtype)
     if norm == "balancedbasicnorm":
-        return {"log_eps_bal": scaling.basic_norm_init(dtype=dtype)["log_eps"]}
+        return {"log_eps_bal":
+                scaling.basic_norm_init(eps=1e-5, dtype=dtype)["log_eps"]}
     if norm == "identity":
         return {}
     raise ValueError(f"unknown norm {norm!r}; expected layernorm | basicnorm "
@@ -85,6 +90,10 @@ def init_layer(key, d_model: int, ffn_dim: int, dtype=jnp.float32,
     if activation not in _FFN_KEY:
         raise ValueError(f"unknown activation {activation!r}; expected one of "
                          f"{sorted(_FFN_KEY)}")
+    # the reference family forces the pre-FFN norm to BalancedBasicNorm when
+    # layer_norm_cls is IdentityNorm (reference transformer.py:245-252) —
+    # only the pre-attention norm is actually the identity
+    norm2 = "balancedbasicnorm" if norm == "identity" else norm
     return {
         "ln1": _norm_init(norm, d_model, dtype),
         "attn": {
@@ -96,7 +105,7 @@ def init_layer(key, d_model: int, ffn_dim: int, dtype=jnp.float32,
             "bv": jnp.zeros((d_model,), dtype),
             "out": _linear_init(ks[1], d_model, d_model, dtype),
         },
-        "ln2": _norm_init(norm, d_model, dtype),
+        "ln2": _norm_init(norm2, d_model, dtype),
         "ffn": {
             _FFN_KEY[activation]: _linear_init(ks[2], d_model, ffn_dim, dtype),
             "lin2": _linear_init(ks[3], ffn_dim, d_model, dtype),
@@ -114,19 +123,26 @@ def init_stack(key, num_layers: int, d_model: int, ffn_dim: int,
     # the stack-final norm follows the layer norm choice (the reference
     # hard-codes LayerNorm there, models/voicecraft.py:175 — but a mixed
     # BasicNorm/LayerNorm stack is an untrained configuration either way)
-    return {"layers": stacked, "final_ln": _norm_init(norm, d_model, dtype)}
+    # EXCEPT for "identity": the reference encoder's final norm is supplied
+    # by the caller independently of layer_norm_cls and VoiceCraft always
+    # passes LayerNorm (voicecraft.py:175) — identity here would delete the
+    # final norm outright, a configuration the reference cannot express
+    final = "layernorm" if norm == "identity" else norm
+    return {"layers": stacked, "final_ln": _norm_init(final, d_model, dtype)}
 
 
 # ---- primitives ---------------------------------------------------------------
 
-def layer_norm(p, x, eps: float = 1e-5):
+def layer_norm(p, x, eps: float = 1e-5, train: bool = False):
     """Norm dispatch on param STRUCTURE (static under jit; see _norm_init):
     {"g","b"} -> LayerNorm, {"log_eps"} -> BasicNorm, {"log_eps_bal"} ->
-    BalancedBasicNorm, {} -> IdentityNorm."""
+    BalancedBasicNorm, {} -> IdentityNorm.  ``train`` enables BasicNorm's
+    expected-ballast eps repair (scaling.basic_norm); the training stack
+    passes it, decode/prefill paths stay in eval form."""
     if "log_eps" in p:
-        return scaling.basic_norm(x, p["log_eps"])
+        return scaling.basic_norm(x, p["log_eps"], train=train)
     if "log_eps_bal" in p:
-        return scaling.balanced_basic_norm(x, p["log_eps_bal"])
+        return scaling.balanced_basic_norm(x, p["log_eps_bal"], train=train)
     if not p:
         return x  # IdentityNorm (reference transformer.py:156-176)
     xf = x.astype(jnp.float32)
@@ -207,8 +223,9 @@ def apply_layer(p, x, bias, nhead: int, dropout: float = 0.0, rng=None):
     ``bias`` is either an additive-bias array for the dense path or a
     callable attn_fn(q, k, v, dropout_rng) (e.g. chunked/flash attention)."""
     from jax.ad_checkpoint import checkpoint_name
+    train = rng is not None
     rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
-    h = layer_norm(p["ln1"], x)
+    h = layer_norm(p["ln1"], x, train=train)
     q, k, v = qkv_proj(p["attn"], h)
     if callable(bias):
         a = bias(q, k, v, rngs[0])
@@ -220,7 +237,7 @@ def apply_layer(p, x, bias, nhead: int, dropout: float = 0.0, rng=None):
     a = _proj(a, p["attn"]["out"]["w"], p["attn"]["out"]["b"])
     x = x + _dropout(a, dropout, rngs[1])
 
-    h = layer_norm(p["ln2"], x)
+    h = layer_norm(p["ln2"], x, train=train)
     h = ffn_block(p["ffn"], h, dropout, rngs[2], remat_name="ffn1")
     x = x + _dropout(h, dropout, rngs[3])
     return x
@@ -269,7 +286,7 @@ def apply_stack(params, x, bias, nhead: int, dropout: float = 0.0, rng=None,
     else:
         body_fn = body
     x, _ = jax.lax.scan(body_fn, x, (params["layers"], layer_rngs))
-    return layer_norm(params["final_ln"], x)
+    return layer_norm(params["final_ln"], x, train=rng is not None)
 
 
 # ---- prefill / decode with KV slab ---------------------------------------------
@@ -360,6 +377,12 @@ def decode_step_fast(params, x_t, cache, pos, nhead: int,
     (ops/fused_decode.py) — one kernel streaming w1/w2 tiles through VMEM.
     """
     L, _, B, S_max, H, Dh = cache.shape
+    if fused_ffn and "lin1" not in params["layers"]["ffn"]:
+        raise ValueError(
+            "fused_ffn supports the relu FFN only (the Pallas kernel "
+            "hard-codes relu); this model was built with "
+            f"ffn_activation != 'relu' (ffn keys: "
+            f"{sorted(params['layers']['ffn'])})")
 
     def body(carry, scanned):
         h_in = carry

@@ -101,7 +101,7 @@ def _extend_with_data(spec: P, shape, dp: int) -> P:
     return P(*s)
 
 
-def zero1_opt_shardings(params, opt_state, mesh: Mesh):
+def zero1_opt_shardings(params, opt_state, mesh: Mesh, labels=None):
     """ZeRO-1 sharding pytree for an optimizer state, or None if unsupported.
 
     The reference replicates optimizer state per DDP rank (steps/trainer.py:46
@@ -113,8 +113,12 @@ def zero1_opt_shardings(params, opt_state, mesh: Mesh):
     all-gathers only the final param-shaped update.  Same bytes on the wire
     as DDP, 1/dp the optimizer memory per chip.
 
-    Supports ScaledAdamState and optax.adamw's chained state; anything else
-    returns None (caller keeps the replicated layout).
+    Supports ScaledAdamState, optax.adamw's chained state, and — given the
+    ``labels`` pytree the trainer built — optax.multi_transform's
+    PartitionState wrapper (the --mtp-only graft path: a masked ScaledAdam
+    over the trained subset, whose state holds one _LeafState per TRAINED
+    leaf in params order).  Anything else returns None (caller keeps the
+    replicated layout).
     """
     dp = mesh.shape["data"]
     if dp <= 1:
@@ -129,30 +133,56 @@ def zero1_opt_shardings(params, opt_state, mesh: Mesh):
     def moment(spec, p):
         return NamedSharding(mesh, _extend_with_data(spec, p.shape, dp))
 
-    if isinstance(opt_state, ScaledAdamState):
-        leaves = tuple(
-            _LeafState(delta=moment(spec, p), exp_avg_sq=moment(spec, p),
-                       param_rms=repl, scale_exp_avg_sq=repl,
-                       scale_grads=repl)
-            for spec, p in zip(pspecs, pflat))
-        return ScaledAdamState(step=repl, model_norms=repl,
-                               model_norm_threshold=repl, leaves=leaves)
+    def build(state, specs, ps):
+        if isinstance(state, ScaledAdamState):
+            assert len(state.leaves) == len(ps), (len(state.leaves), len(ps))
+            leaves = tuple(
+                _LeafState(delta=moment(spec, p), exp_avg_sq=moment(spec, p),
+                           param_rms=repl, scale_exp_avg_sq=repl,
+                           scale_grads=repl)
+                for spec, p in zip(specs, ps))
+            return ScaledAdamState(step=repl, model_norms=repl,
+                                   model_norm_threshold=repl, leaves=leaves)
+        # optax.adamw: (ScaleByAdamState(count, mu, nu), <wd/lr states>)
+        # where mu/nu are param-congruent pytrees (full-params case only —
+        # a masked adamw's mu treedef differs from params)
+        try:
+            import optax
+            if (isinstance(state, tuple) and len(state) > 0
+                    and isinstance(state[0], optax.ScaleByAdamState)
+                    and ps is pflat):
+                sh_tree = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(params),
+                    [moment(spec, p) for spec, p in zip(specs, ps)])
+                adam = optax.ScaleByAdamState(count=repl, mu=sh_tree,
+                                              nu=sh_tree)
+                rest = tuple(jax.tree.map(lambda _: repl, s)
+                             for s in state[1:])
+                return (adam,) + rest
+        except Exception:
+            pass
+        return None
 
-    # optax.adamw: (ScaleByAdamState(count, mu, nu), <wd/lr states>) where
-    # mu/nu are param-congruent pytrees
-    try:
-        import optax
-        if (isinstance(opt_state, tuple) and len(opt_state) > 0
-                and isinstance(opt_state[0], optax.ScaleByAdamState)):
-            sh_tree = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(params),
-                [moment(spec, p) for spec, p in zip(pspecs, pflat)])
-            adam = optax.ScaleByAdamState(count=repl, mu=sh_tree, nu=sh_tree)
-            rest = tuple(jax.tree.map(lambda _: repl, s)
-                         for s in opt_state[1:])
-            return (adam,) + rest
-    except Exception:
-        pass
+    sh = build(opt_state, pspecs, pflat)
+    if sh is not None:
+        return sh
+
+    # optax.multi_transform: PartitionState(inner_states={label:
+    # MaskedState(inner_state=<wrapped state over that label's leaves>)})
+    if (labels is not None and hasattr(opt_state, "inner_states")
+            and type(opt_state).__name__ == "PartitionState"):
+        lab_flat = jax.tree.leaves(labels)
+        assert len(lab_flat) == len(pflat)
+        inner_sh = {}
+        for lab, masked in opt_state.inner_states.items():
+            sel = [i for i, l in enumerate(lab_flat) if l == lab]
+            sub = build(masked.inner_state,
+                        [pspecs[i] for i in sel], [pflat[i] for i in sel])
+            if sub is None:
+                # e.g. set_to_zero's EmptyState (no leaves) — replicate
+                sub = jax.tree.map(lambda _: repl, masked.inner_state)
+            inner_sh[lab] = type(masked)(inner_state=sub)
+        return type(opt_state)(inner_states=inner_sh)
     return None
 
 

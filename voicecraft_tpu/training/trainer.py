@@ -155,14 +155,15 @@ class Trainer:
             if missing:
                 log.info("init_from %s: fresh-initialised %s", init_from,
                          sorted(missing))
+        opt_labels = None
         if train_mtp_only:
             assert "mtp_heads" in self.params, "train_mtp_only needs n_mtp>0"
             import optax
-            labels = {k: jax.tree.map(
+            opt_labels = {k: jax.tree.map(
                 lambda _: "train" if k == "mtp_heads" else "freeze", v)
                 for k, v in self.params.items()}
             self.tx = optax.multi_transform(
-                {"train": self.tx, "freeze": optax.set_to_zero()}, labels)
+                {"train": self.tx, "freeze": optax.set_to_zero()}, opt_labels)
         param_sh = opt_sh = None
         if mesh is not None:
             from ..parallel.mesh import shard_params, param_shardings
@@ -171,14 +172,13 @@ class Trainer:
         self.opt_state = jax.jit(self.tx.init)(self.params)
         if mesh is not None and tcfg.zero1:
             from ..parallel.mesh import zero1_opt_shardings
-            opt_sh = zero1_opt_shardings(self.params, self.opt_state, mesh)
+            opt_sh = zero1_opt_shardings(self.params, self.opt_state, mesh,
+                                         labels=opt_labels)
             if opt_sh is not None:
                 self.opt_state = jax.device_put(self.opt_state, opt_sh)
                 log.info("ZeRO-1: optimizer moments sharded over data=%d",
                          mesh.shape["data"])
             elif mesh.shape["data"] > 1:
-                # e.g. --mtp-only wraps the optimizer in multi_transform,
-                # whose state zero1_opt_shardings doesn't recognise
                 log.warning(
                     "ZeRO-1 requested but the optimizer state layout is "
                     "unsupported (%s) — moments stay replicated per data "
