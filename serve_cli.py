@@ -83,12 +83,22 @@ class Engine:
             jax.set_mesh(self.mesh)        # sticky: the server owns the process
             log.info("serving over a (%d data x %d model) device mesh",
                      n_data, n_model)
-        self.spec = int(getattr(args, "spec", 0) or 0)
-        if self.spec > 1 and "mtp_heads" not in self.params:
-            log.warning("--spec %d requested but the checkpoint has no MTP "
+        from voicecraft_tpu.inference.autospec import resolve_spec_arg
+        spec_arg = getattr(args, "spec", 0) or 0
+        self.spec, self.autospec = resolve_spec_arg(spec_arg, self.params)
+        if str(spec_arg).startswith("auto") and self.spec == 0:
+            log.warning("--spec auto requested but the checkpoint has no "
+                        "MTP heads (train_cli --n-mtp); speculative serving "
+                        "disabled")
+        elif self.spec > 1 and "mtp_heads" not in self.params:
+            log.warning("--spec %s requested but the checkpoint has no MTP "
                         "heads (train_cli --n-mtp); speculative serving "
-                        "disabled", self.spec)
+                        "disabled", spec_arg)
             self.spec = 0
+        if self.autospec is not None:
+            log.info("adaptive speculation enabled (tau=%d): waves probe "
+                     "plain vs spec throughput online and serve from the "
+                     "faster mode", self.spec)
         self.queue: "queue.Queue" = queue.Queue()
         self.lock = threading.Lock()
         # rerun sessions: sid -> {"codes", "prompt_end", "scfg", "seed",
@@ -371,12 +381,24 @@ class Engine:
                                 nd = self.mesh.shape["data"]
                                 while len(reqs_b) % nd:
                                     reqs_b.append(reqs_b[-1])
+                            # adaptive speculation: ask the bandit which
+                            # mode serves this wave, feed the measured
+                            # throughput back (autospec.AutoSpecPolicy)
+                            mode = (self.autospec.next_mode()
+                                    if self.autospec is not None
+                                    else self.spec)
+                            wave_stats: dict = {}
                             outs = serve_tts_batch(
                                 self.params, self.cfg, reqs_b,
                                 scfg, seeds=[s["seed"] for s in group]
                                 + [0] * (len(reqs_b) - len(group)),
-                                kv_dtype=self.kv_dtype, spec=self.spec,
-                                mesh=self.mesh)
+                                kv_dtype=self.kv_dtype, spec=mode,
+                                mesh=self.mesh, stats=wave_stats)
+                            if self.autospec is not None:
+                                self.autospec.observe(
+                                    mode, wave_stats["frames"],
+                                    wave_stats["seconds"],
+                                    tok_per_pass=wave_stats["tok_per_pass"])
                             for s, o in zip(group, outs):
                                 s["result"] = o
                             continue
@@ -604,10 +626,13 @@ def make_handler(engine: Engine):
             if self.path == "/":
                 self._send(200, INDEX_HTML, "text/html")
             elif self.path == "/healthz":
-                self._send(200, json.dumps({
+                info = {
                     "status": "ok",
                     "model_d_model": engine.cfg.d_model,
-                    "n_codebooks": engine.cfg.n_codebooks}))
+                    "n_codebooks": engine.cfg.n_codebooks}
+                if engine.autospec is not None:
+                    info["autospec"] = engine.autospec.snapshot()
+                self._send(200, json.dumps(info))
             else:
                 self._send(404, json.dumps({"error": "not found"}))
 
@@ -675,10 +700,15 @@ def main():
     ap.add_argument("--kv-fp8", action="store_true",
                     help="fp8 KV slab for multi-lane serving (halves the "
                          "dominant HBM traffic at 16+ lanes)")
-    ap.add_argument("--spec", type=int, default=0, metavar="TAU",
+    ap.add_argument("--spec", default="0", metavar="TAU|auto[:TAU]",
                     help="speculative decoding with TAU tokens per verified "
                          "pass (checkpoint must carry MTP heads); applies "
-                         "to both lone requests and micro-batched lanes")
+                         "to both lone requests and micro-batched lanes. "
+                         "'auto' measures plain-vs-spec throughput on live "
+                         "waves and serves batches from the faster mode "
+                         "(lone requests always use spec, the measured "
+                         "single-stream win); TAU defaults to the "
+                         "checkpoint's full MTP depth")
     ap.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                     help="multi-chip serving: shard lanes over a data axis "
                          "and params over a model axis, e.g. 4x2 "

@@ -360,6 +360,7 @@ def serve_tts_batch(params, cfg: ModelConfig,
                     spec: int = 0,
                     mesh=None,
                     seeds: Optional[Sequence[int]] = None,
+                    stats: Optional[dict] = None,
                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Decode a batch of (x_tokens [Lx], y_codes [K, T]) requests.
 
@@ -382,9 +383,18 @@ def serve_tts_batch(params, cfg: ModelConfig,
     lanes, so aggregate throughput scales ~linearly with data-parallel
     chips (tests/test_parallel_inference.py).
 
+    ``stats``: optional dict filled in-place with the wave's telemetry —
+    {"frames": total generated rows, "seconds": wall time of the decode
+    loop (timed through the host readback — block_until_ready can return
+    early on this backend), "spec": the mode used, "tok_per_pass": mean
+    accepted tokens per speculative pass (None for plain)}.  Feed these to
+    :class:`voicecraft_tpu.inference.autospec.AutoSpecPolicy` for online
+    plain-vs-spec mode selection.
+
     Returns [(full_codes, generated_codes)] per request, reference
     inference_tts output semantics per lane.
     """
+    import time as _time
     K = cfg.n_codebooks
     B = len(requests)
     prefixes = [spans.compose_tts_prefix(
@@ -421,14 +431,19 @@ def serve_tts_batch(params, cfg: ModelConfig,
             a, NamedSharding(mesh, P(*(["data"] + [None] * (a.ndim - 1)))))
             for a in arrs)
 
+    t0 = _time.perf_counter()
+    tok_per_pass = None
     if spec > 1:
         from ..models.voicecraft import check_mtp_heads
         check_mtp_heads(params, spec, scfg)
         loop = _get_spec_serving_loop(cfg, B, spec, x_pad, y_pad, gen_max,
                                       scfg, kv_dtype)
-        gen_buf, t_acc, _ = loop(params, *lane_args())
+        gen_buf, t_acc, n_passes = loop(params, *lane_args())
         gen_buf = np.asarray(gen_buf)
         n_rows = np.asarray(t_acc)
+        np_ = int(n_passes)
+        if np_ > 0:
+            tok_per_pass = float(n_rows.mean()) / np_
     else:
         loop = _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg,
                                  kv_dtype)
@@ -436,6 +451,10 @@ def serve_tts_batch(params, cfg: ModelConfig,
         gen_buf = np.asarray(gen_buf)
         finish_t = np.asarray(finish_t)
         n_rows = np.where(finish_t >= 0, finish_t + 1, gen_buf.shape[0])
+    if stats is not None:
+        stats.update(frames=int(n_rows.sum()),
+                     seconds=_time.perf_counter() - t0,
+                     spec=spec, tok_per_pass=tok_per_pass)
 
     out = []
     for b, (x, y) in enumerate(requests):
