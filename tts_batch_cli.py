@@ -79,9 +79,12 @@ def main():
     ap.add_argument("--text-backend", default="auto")
     ap.add_argument("--kv-fp8", action="store_true",
                     help="fp8 KV slab for the serving waves")
-    ap.add_argument("--spec", type=int, default=0, metavar="TAU",
+    ap.add_argument("--spec", default="0", metavar="TAU|auto[:TAU]",
                     help="speculative decoding across lanes (checkpoint "
-                         "must carry MTP heads; greedy output identical)")
+                         "must carry MTP heads; greedy output identical). "
+                         "'auto' measures plain-vs-spec throughput on the "
+                         "manifest's own waves and decodes from the faster "
+                         "mode (inference/autospec.py)")
     ap.add_argument("--fp8", action="store_true",
                     help="weight-only fp8 serving quantization")
     ap.add_argument("--spec-sampling", default="exact",
@@ -139,18 +142,29 @@ def main():
         metas.append({"i": i, "row": row, "prompt_wav": prompt_wav,
                       "to_syn": to_syn})
 
+    from voicecraft_tpu.inference.autospec import resolve_spec_arg
+    spec_tau, autospec = resolve_spec_arg(args.spec, params)
+    if str(args.spec).startswith("auto") and spec_tau == 0:
+        log.warning("--spec auto: checkpoint has no MTP heads; plain waves")
+
     wers = []
     t0 = time.time()
     for lo in range(0, len(reqs), args.lanes):
         wave_reqs = reqs[lo:lo + args.lanes]
         wave_meta = metas[lo:lo + args.lanes]
-        if len(wave_reqs) > 1 or args.spec > 1 or args.kv_fp8:
+        if len(wave_reqs) > 1 or spec_tau > 1 or args.kv_fp8:
             # serving path handles B=1 too; a plain-inference fallback for
             # a lone trailing request would silently drop --spec/--kv-fp8
+            mode = autospec.next_mode() if autospec is not None else spec_tau
+            wave_stats: dict = {}
             outs = serve_tts_batch(
                 params, cfg, wave_reqs, scfg, seed=args.seed,
                 kv_dtype="float8_e4m3fn" if args.kv_fp8 else None,
-                spec=args.spec)
+                spec=mode, stats=wave_stats)
+            if autospec is not None:
+                autospec.observe(mode, wave_stats["frames"],
+                                 wave_stats["seconds"],
+                                 tok_per_pass=wave_stats["tok_per_pass"])
         else:
             from voicecraft_tpu.inference.tts import inference_tts
             x, y = wave_reqs[0]
@@ -178,6 +192,8 @@ def main():
                          m["to_syn"][:60], hyp[:60])
         log.info("wave %d..%d done (%.1fs elapsed)", lo,
                  lo + len(wave_reqs) - 1, time.time() - t0)
+    if autospec is not None:
+        log.info("autospec: %s", autospec.snapshot())
     if wers:
         log.info("mean WER over %d rows: %.4f", len(wers),
                  float(np.mean(wers)))
