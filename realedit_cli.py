@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--spec", type=int, default=0, metavar="TAU",
                     help="speculative decoding (MTP-head checkpoint; "
                          "greedy output identical to plain decoding)")
+    ap.add_argument("--lanes", type=int, default=1,
+                    help="decode N manifest rows per lockstep wave "
+                         "(serve_edit_batch — batch-1 decode streams all "
+                         "weights per step, so N lanes cost ~one row); "
+                         "incompatible with --spec")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--spec-sampling", default="exact",
                     choices=["exact", "stochastic"])
@@ -80,8 +85,11 @@ def main():
                           silence_tokens=tuple(args.silence_tokens),
                           spec_sampling=args.spec_sampling)
 
-    n_ok = 0
-    wers = []
+    assert not (args.lanes > 1 and args.spec > 1), \
+        "--lanes batching and --spec are mutually exclusive"
+
+    # ---- prepare every row (host: audio load, codec encode, span calc) ----
+    prepared = []      # (i, row, stem, x, codes, intervals)
     for i, row in enumerate(rows):
         try:
             wav_fn = row["wav_fn"]
@@ -113,28 +121,64 @@ def main():
                 from voicecraft_tpu.data.phonemes import build_vocab
                 phn2num = build_vocab([phones])
             x = np.asarray(phones_to_ids(phones, phn2num), np.int32)
-
-            for s in range(args.num_seeds):
-                res = inference_edit(params, cfg, x, codes, intervals, scfg,
-                                     seed=args.seed + s, spec=args.spec)
-                out = ec.decode_bucketed(cparams, res[None], ccfg)[0]
-                out_fn = os.path.join(args.out_dir,
-                                      f"{stem}_new_seed{args.seed + s}.wav")
-                au.write_wav(out_fn, out, ccfg.sample_rate)
-                if args.wer:
-                    from voicecraft_tpu.utils.transcribe import make_transcriber
-                    from tts_batch_cli import word_error_rate
-                    hyp = make_transcriber(args.asr_model).transcribe(
-                        out, ccfg.sample_rate)
-                    w = word_error_rate(row["new_transcript"], hyp)
-                    wers.append(w)
-                    logging.info("  seed %d WER %.3f", args.seed + s, w)
-            n_ok += 1
-            logging.info("[%d/%d] %s: spans -> frames %s, ok",
-                         i + 1, len(rows), wav_fn, intervals)
+            prepared.append((i, row, stem, x, codes, intervals))
         except Exception as e:
-            logging.warning("[%d/%d] %s failed: %s", i + 1, len(rows),
-                            row.get("wav_fn"), e)
+            logging.warning("[%d/%d] %s failed to prepare: %s", i + 1,
+                            len(rows), row.get("wav_fn"), e)
+
+    n_ok = 0
+    wers = []
+
+    def emit(row, stem, res, seed_s):
+        out = ec.decode_bucketed(cparams, res[None], ccfg)[0]
+        out_fn = os.path.join(args.out_dir, f"{stem}_new_seed{seed_s}.wav")
+        au.write_wav(out_fn, out, ccfg.sample_rate)
+        if args.wer:
+            from voicecraft_tpu.utils.transcribe import make_transcriber
+            from tts_batch_cli import word_error_rate
+            hyp = make_transcriber(args.asr_model).transcribe(
+                out, ccfg.sample_rate)
+            w = word_error_rate(row["new_transcript"], hyp)
+            wers.append(w)
+            logging.info("  seed %d WER %.3f", seed_s, w)
+
+    if args.lanes > 1:
+        # lockstep waves over the prepared rows, one pass per seed
+        from voicecraft_tpu.inference.serving import serve_edit_batch
+        for s in range(args.num_seeds):
+            done_rows = set()
+            for lo in range(0, len(prepared), args.lanes):
+                chunk = prepared[lo:lo + args.lanes]
+                try:
+                    outs = serve_edit_batch(
+                        params, cfg, [(x, c, iv) for _, _, _, x, c, iv
+                                      in chunk],
+                        scfg, seed=args.seed + s)
+                    for (i, row, stem, _, _, iv), res in zip(chunk, outs):
+                        emit(row, stem, res, args.seed + s)
+                        done_rows.add(i)
+                        logging.info("[%d/%d] %s: spans -> frames %s, ok "
+                                     "(wave of %d)", i + 1, len(rows),
+                                     row["wav_fn"], iv, len(chunk))
+                except Exception as e:
+                    logging.warning("wave %d..%d failed: %s", lo,
+                                    lo + len(chunk) - 1, e)
+            if s == 0:
+                n_ok = len(done_rows)
+    else:
+        for i, row, stem, x, codes, intervals in prepared:
+            try:
+                for s in range(args.num_seeds):
+                    res = inference_edit(params, cfg, x, codes, intervals,
+                                         scfg, seed=args.seed + s,
+                                         spec=args.spec)
+                    emit(row, stem, res, args.seed + s)
+                n_ok += 1
+                logging.info("[%d/%d] %s: spans -> frames %s, ok",
+                             i + 1, len(rows), row["wav_fn"], intervals)
+            except Exception as e:
+                logging.warning("[%d/%d] %s failed: %s", i + 1, len(rows),
+                                row.get("wav_fn"), e)
     logging.info("done: %d/%d edited", n_ok, len(rows))
     if wers:
         logging.info("mean WER over %d outputs: %.4f", len(wers),

@@ -7,11 +7,13 @@ import sys
 import wave as wave_mod
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_realedit_cli_end_to_end(tmp_path):
+@pytest.mark.parametrize("lanes", [1, 2])
+def test_realedit_cli_end_to_end(tmp_path, lanes):
     sr = 16000
     wav_dir = tmp_path / "wavs"
     align_dir = tmp_path / "align"
@@ -49,7 +51,8 @@ def test_realedit_cli_end_to_end(tmp_path):
          "--align-dir", str(align_dir), "--model", "tiny_test",
          "--random-init", "--platform", "cpu", "--text-backend", "grapheme",
          "--out-dir", str(out_dir), "--top-k", "15",
-         "--silence-tokens", "5", "7", "--num-seeds", "2"],
+         "--silence-tokens", "5", "7", "--num-seeds", "2",
+         "--lanes", str(lanes)],
         capture_output=True, timeout=600, cwd=REPO)
     assert r.returncode == 0, r.stderr.decode()[-3000:]
     assert b"done: 2/2 edited" in r.stderr or b"done: 2/2 edited" in r.stdout, \

@@ -472,3 +472,359 @@ def serve_tts_batch(params, cfg: ModelConfig,
         full = np.concatenate([y, gen], axis=1)
         out.append((full, gen))
     return out
+
+
+# ==============================================================================
+# multi-stream speech editing: N distinct edit requests decoded in lockstep
+# ==============================================================================
+
+class EditServingState(NamedTuple):
+    cache: jnp.ndarray
+    logits: jnp.ndarray          # [B, K, card]
+    rng: jnp.ndarray             # [B, 2] per-lane keys
+    t: jnp.ndarray               # global step counter (uniform write pointer)
+    gen_buf: jnp.ndarray         # [gen_max, B, K] recorded tokens per lane
+    span_buf: jnp.ndarray        # [gen_max, B] span index of each recording
+    gen_cnt: jnp.ndarray         # [B] recorded tokens per lane (!= t: feeds)
+    codebook_eog: jnp.ndarray    # [B, K]
+    cur_num_gen: jnp.ndarray     # [B] tokens generated in the current span
+    consec_silence: jnp.ndarray  # [B]
+    prev_token: jnp.ndarray      # [B]
+    span_idx: jnp.ndarray        # [B] current generated-span index
+    queue: jnp.ndarray           # [B, 2, D] pending mask/empty feed embeds
+    queue_len: jnp.ndarray       # [B]
+    done: jnp.ndarray            # [B]
+
+
+def make_serving_edit_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
+                           y_pad: int, gen_max: int, scfg: SamplingConfig,
+                           max_spans: Optional[int] = None,
+                           kv_dtype: Optional[str] = None):
+    """Multi-stream speech editing: N *distinct* edit requests in lockstep.
+
+    The single-sample edit decode (models/voicecraft.py make_decode_loop,
+    is_tts=False; reference voicecraft.py:561-906) interleaves recorded
+    sampling steps with 2-deep queued mask/empty feed steps at span
+    transitions, so lanes de-synchronise logically — but every step (feed
+    or record) writes exactly one KV row, so the SLAB write pointer stays
+    uniform across lanes (y_start + t) and lockstep batching works exactly
+    like TTS serving: per-lane validity masks carve the pads
+    (decode_step_multi) and all span machinery vectorises as [B] state.
+    Recorded tokens land at per-lane compact offsets (gen_buf scatter at
+    gen_cnt[b]), so variable feed schedules never fragment a lane's output.
+
+    Frozen lanes (all spans done, or the per-lane gen_max budget reached)
+    keep writing garbage rows at the uniform pointer; correctness follows
+    from the same argument as the engine's ring slab: only the lane's OWN
+    attention reads them, and a frozen lane's samples/state updates are
+    gated off (`active`) — its recorded prefix is already final.
+
+    Returns jitted fn(params, x_tokens [B,x_pad], x_lens [B],
+      y_prefix [B,K,y_pad], prefix_lens [B], mask_emb_idx [B,y_pad],
+      queue_mask_ids [B,max_spans], n_spans [B], lane_seeds [B])
+      -> (gen_buf [gen_max,B,K], span_buf [gen_max,B], gen_cnt [B]).
+    """
+    from ..models.voicecraft import init_params  # noqa: F401 (docs only)
+    K, D = cfg.n_codebooks, cfg.d_model
+    H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    B = batch_size
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cache_dtype = jnp.dtype(kv_dtype) if kv_dtype else dtype
+    cap_mult = 10                                  # editing cap, voicecraft.py:751
+    if max_spans is None:
+        max_spans = cfg.max_n_spans
+    y_start = x_pad + y_pad
+    # 2 feed steps per span transition ride the same uniform pointer
+    t_max = gen_max + 2 * (max_spans - 1)
+    s_max = y_start + t_max
+    pe_np = sine_table(MAX_POS, D)
+
+    from ..models.voicecraft import _adjust_and_sample
+    sample_lane = jax.vmap(
+        lambda rng, lg, eog, cng, cs, pt, yp, xl: _adjust_and_sample(
+            cfg, scfg, False, cap_mult, rng, lg, eog, cng, cs, pt, yp, xl))
+
+    def decode(params, x_tokens, x_lens, y_prefix, prefix_lens,
+               mask_emb_idx, queue_mask_ids, n_spans, lane_seeds):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        alpha_a = params["alpha_audio"].astype(dtype)
+        lane_keys = jax.vmap(
+            lambda s, b: jax.random.fold_in(jax.random.PRNGKey(s), b))(
+                lane_seeds, jnp.arange(B))
+        lane_ids = jnp.arange(B)
+
+        # ---- prefill (TTS serving prefill + mask-embedding substitution,
+        # models/voicecraft.py make_decode_loop prefill) ----
+        x_emb = jnp.take(params["text_emb"]["weight"], x_tokens,
+                         axis=0).astype(dtype)
+        x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
+        y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
+        is_mask = mask_emb_idx >= 0                          # [B, y_pad]
+        mask_vecs = jnp.take(params["mask_emb"],
+                             jnp.maximum(mask_emb_idx, 0),
+                             axis=0).astype(dtype)           # [B, y_pad, D]
+        y_emb = jnp.where(is_mask[..., None], mask_vecs, y_emb)
+        y_in = y_emb + alpha_a * pe[:y_pad]
+        xy = jnp.concatenate([x_in, y_in], axis=1)
+
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        if use_flash_prefill(y_start):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v, x_lens, prefix_lens, x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(y_start)
+            key_valid = ((jj[None, :] < x_lens[:, None])
+                         | ((jj[None, :] >= x_pad)
+                            & (jj[None, :] < x_pad + prefix_lens[:, None])))
+            allowed = (jj[None, :] <= jj[:, None])[None] & key_valid[:, None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[:, None]
+
+        cache = trm.init_kv_cache(L, B, s_max, H, Dh, cache_dtype)
+        h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)
+        last_idx = x_pad + prefix_lens - 1
+        h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)
+        logits0 = apply_heads(params["heads"], h_last)[:, 0]
+
+        empty_emb = embed_audio_tokens(
+            params["audio_emb"],
+            jnp.full((1, K, 1), cfg.empty_token,
+                     jnp.int32))[0, 0].astype(dtype)         # [D]
+
+        state = EditServingState(
+            cache=cache, logits=logits0, rng=lane_keys,
+            t=jnp.asarray(0, jnp.int32),
+            gen_buf=jnp.zeros((gen_max, B, K), jnp.int32),
+            span_buf=jnp.zeros((gen_max, B), jnp.int32),
+            gen_cnt=jnp.zeros((B,), jnp.int32),
+            codebook_eog=jnp.zeros((B, K), bool),
+            cur_num_gen=jnp.zeros((B,), jnp.int32),
+            consec_silence=jnp.zeros((B,), jnp.int32),
+            prev_token=jnp.full((B,), -1, jnp.int32),
+            span_idx=jnp.zeros((B,), jnp.int32),
+            queue=jnp.zeros((B, 2, D), dtype),
+            queue_len=jnp.zeros((B,), jnp.int32),
+            done=jnp.zeros((B,), bool))
+
+        def cond(s: EditServingState):
+            return jnp.logical_not(jnp.all(s.done)) & (s.t < t_max)
+
+        def body(s: EditServingState) -> EditServingState:
+            # vectorised transliteration of make_decode_loop's substep; the
+            # `active` gating there (written for steps_per_iter sub-steps
+            # past done/budget, documented output-identical) is exactly the
+            # frozen-lane gating lockstep needs
+            active = jnp.logical_not(s.done) & (s.gen_cnt < gen_max)  # [B]
+            pairs = jax.vmap(lambda k: jax.random.split(k, 2))(s.rng)
+            rng, step_rngs = pairs[:, 0], pairs[:, 1]
+            feeding = s.queue_len > 0                                  # [B]
+            y_pos = prefix_lens + s.t                                  # [B]
+
+            samples, new_eog, new_consec, new_prev = sample_lane(
+                step_rngs, s.logits, s.codebook_eog, s.cur_num_gen,
+                s.consec_silence, s.prev_token, y_pos, x_lens)
+
+            span_complete = (jnp.all(new_eog, axis=1)
+                             & jnp.logical_not(feeding) & active)
+            record = jnp.logical_not(feeding) & active
+
+            # per-lane compact recording (clamped: frozen lanes at budget
+            # gather/rewrite their last slot, a no-op since record=False)
+            w_idx = jnp.minimum(s.gen_cnt, gen_max - 1)
+            old_rows = s.gen_buf[w_idx, lane_ids]                      # [B, K]
+            gen_buf = s.gen_buf.at[w_idx, lane_ids].set(
+                jnp.where(record[:, None], samples, old_rows))
+            old_span = s.span_buf[w_idx, lane_ids]
+            span_buf = s.span_buf.at[w_idx, lane_ids].set(
+                jnp.where(record, s.span_idx, old_span))
+            gen_cnt = s.gen_cnt + record.astype(jnp.int32)
+
+            sample_emb = embed_audio_tokens(
+                params["audio_emb"], samples[:, :, None])[:, 0].astype(dtype)
+            feed_emb = jnp.where(feeding[:, None], s.queue[:, 0], sample_emb)
+
+            # queue management (voicecraft.py:838-858): on span completion
+            # with spans remaining, enqueue [mask_emb(next), empty_emb]
+            more_spans = (s.span_idx + 1) < n_spans
+            start_next = span_complete & more_spans
+            next_mask_id = queue_mask_ids[
+                lane_ids, jnp.minimum(s.span_idx + 1, max_spans - 1)]
+            new_queue = jnp.stack(
+                [jnp.take(params["mask_emb"], next_mask_id,
+                          axis=0).astype(dtype),
+                 jnp.broadcast_to(empty_emb, (B, D))], axis=1)  # [B, 2, D]
+            consume = feeding & active
+            shifted = jnp.stack([s.queue[:, 1], s.queue[:, 1]], axis=1)
+            queue = jnp.where(start_next[:, None, None], new_queue,
+                              jnp.where(consume[:, None, None], shifted,
+                                        s.queue))
+            queue_len = jnp.where(start_next, 2,
+                                  jnp.where(consume, s.queue_len - 1,
+                                            s.queue_len))
+
+            done = s.done | (span_complete & jnp.logical_not(more_spans))
+            span_idx = s.span_idx + start_next.astype(jnp.int32)
+
+            # per-span resets; frozen/feeding lanes keep their state
+            keep = feeding | jnp.logical_not(active)
+            codebook_eog = jnp.where(span_complete[:, None],
+                                     jnp.zeros_like(new_eog),
+                                     jnp.where(keep[:, None],
+                                               s.codebook_eog, new_eog))
+            cur_num_gen = jnp.where(span_complete, 0,
+                                    jnp.where(keep, s.cur_num_gen,
+                                              s.cur_num_gen + 1))
+            consec = jnp.where(span_complete, 0,
+                               jnp.where(keep, s.consec_silence, new_consec))
+            prev = jnp.where(span_complete, -1,
+                             jnp.where(keep, s.prev_token, new_prev))
+
+            feed = feed_emb + alpha_a * jnp.take(pe, y_pos, axis=0)
+            h, cache = trm.decode_step_multi(
+                params["decoder"], feed[:, None, :], s.cache,
+                y_start + s.t, cfg.nhead, x_lens, x_pad, prefix_lens,
+                y_start)
+            logits = apply_heads(params["heads"], h)[:, 0]
+
+            return EditServingState(cache, logits, rng, s.t + 1, gen_buf,
+                                    span_buf, gen_cnt, codebook_eog,
+                                    cur_num_gen, consec, prev, span_idx,
+                                    queue, queue_len, done)
+
+        final = jax.lax.while_loop(cond, body, state)
+        return final.gen_buf, final.span_buf, final.gen_cnt
+
+    return jax.jit(decode)
+
+
+@lru_cache(maxsize=8)
+def _get_serving_edit_loop(cfg, B, x_pad, y_pad, gen_max, scfg, max_spans,
+                           kv_dtype=None):
+    return make_serving_edit_loop(cfg, batch_size=B, x_pad=x_pad,
+                                  y_pad=y_pad, gen_max=gen_max, scfg=scfg,
+                                  max_spans=max_spans, kv_dtype=kv_dtype)
+
+
+def serve_edit_batch(params, cfg: ModelConfig,
+                     requests: Sequence[Tuple[np.ndarray, np.ndarray,
+                                              Sequence[Tuple[int, int]]]],
+                     scfg: SamplingConfig = SamplingConfig(),
+                     seed: int = 1,
+                     pads: Optional[Tuple[int, int, int]] = None,
+                     kv_dtype: Optional[str] = None,
+                     mesh=None,
+                     seeds: Optional[Sequence[int]] = None,
+                     stats: Optional[dict] = None) -> List[np.ndarray]:
+    """Decode a batch of (x_tokens [Lx], y_codes [K,T], mask_intervals)
+    speech-editing requests in one lockstep wave.
+
+    The reference (and our single-stream driver) edits one utterance at a
+    time; batch-1 decode is weight-bandwidth-bound, so a RealEdit-style
+    corpus pays the full weight-streaming cost per row.  This serves N
+    distinct edit requests — each with its own transcript, codes, and span
+    set — for ~the cost of one (inference/serving.py module docstring).
+
+    Per-request outputs carry the semantics of :func:`inference_edit`:
+    unedited frames preserved verbatim, generated spans spliced between
+    them.  Greedy per-lane output matches the single-stream edit decode
+    (f32; cross-batch reduction ties aside, CLAUDE.md).  ``seeds``/
+    ``mesh``/``stats`` as in :func:`serve_tts_batch`.
+
+    Returns [spliced_codes [K, T']] per request.
+    """
+    import time as _time
+    K = cfg.n_codebooks
+    B = len(requests)
+    shifted, intervals_l, comps, queue_ids_l = [], [], [], []
+    for x, y, intervals in requests:
+        assert len(intervals) >= 1, "editing needs at least one mask span"
+        y = y + cfg.n_special if cfg.special_first else y
+        iv = sorted((int(s), int(e)) for s, e in intervals)
+        prefix, qids = spans.compose_edit_prefix(y, iv, cfg)
+        shifted.append(y)
+        intervals_l.append(iv)
+        comps.append(prefix)
+        queue_ids_l.append(qids)
+
+    x_lens = np.asarray([len(x) for x, _, _ in requests], np.int32)
+    p_lens = np.asarray([c.length for c in comps], np.int32)
+    n_spans = np.asarray([len(iv) for iv in intervals_l], np.int32)
+    if pads is None:
+        x_pad = _ceil(int(x_lens.max()), 32)
+        y_pad = _ceil(int(p_lens.max()), 64)
+        # per-request budget, the run_decode formula (inference/tts.py)
+        caps = [max(int(xl) * 10 - int(pl) + K + 8, 2 * K + 8)
+                + 3 * (int(m) - 1)
+                for xl, pl, m in zip(x_lens, p_lens, n_spans)]
+        gen_max = _ceil(max(caps), 128)
+    else:
+        x_pad, y_pad, gen_max = pads
+
+    max_spans = cfg.max_n_spans
+    xt = np.full((B, x_pad), cfg.text_pad_token, np.int32)
+    yt = np.full((B, K, y_pad), cfg.empty_token, np.int32)
+    mi = np.full((B, y_pad), -1, np.int32)
+    qm = np.zeros((B, max_spans), np.int32)
+    for b, ((x, _, _), c, qids) in enumerate(zip(requests, comps,
+                                                 queue_ids_l)):
+        xt[b, :len(x)] = x
+        yt[b, :, :c.length] = c.tokens
+        mi[b, :c.length] = c.mask_emb_idx
+        for j, v in enumerate(qids[:max_spans]):
+            qm[b, j] = v
+
+    lane_seeds = np.asarray(
+        [seed] * B if seeds is None else list(seeds), np.int32)
+    assert lane_seeds.shape == (B,), (lane_seeds.shape, B)
+
+    arrs = (jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
+            jnp.asarray(p_lens), jnp.asarray(mi), jnp.asarray(qm),
+            jnp.asarray(n_spans), jnp.asarray(lane_seeds))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert B % mesh.shape["data"] == 0, (B, dict(mesh.shape))
+        arrs = tuple(jax.device_put(
+            a, NamedSharding(mesh, P(*(["data"] + [None] * (a.ndim - 1)))))
+            for a in arrs)
+
+    t0 = _time.perf_counter()
+    loop = _get_serving_edit_loop(cfg, B, x_pad, y_pad, gen_max, scfg,
+                                  max_spans, kv_dtype)
+    gen_buf, span_buf, gen_cnt = loop(params, *arrs)
+    gen_buf = np.asarray(gen_buf)
+    span_buf = np.asarray(span_buf)
+    gen_cnt = np.asarray(gen_cnt)
+    if stats is not None:
+        stats.update(frames=int(gen_cnt.sum()),
+                     seconds=_time.perf_counter() - t0,
+                     spec=0, tok_per_pass=None)
+
+    out = []
+    for b, (y, iv) in enumerate(zip(shifted, intervals_l)):
+        rows = gen_buf[:gen_cnt[b], b]                       # [n, K]
+        span_of = span_buf[:gen_cnt[b], b]
+        gen_spans = []
+        for j in range(len(iv)):
+            rj = rows[span_of == j]
+            if rj.shape[0] <= K:
+                gen_spans.append(np.zeros((K, 0), np.int32))
+            else:
+                gen_spans.append(patterns.unshift_span(rj.T).astype(np.int32))
+        # splice: unedited segments verbatim, generated spans between
+        # (inference/editing.py result assembly)
+        y_len = y.shape[1]
+        starts = [s for s, _ in iv]
+        ends = [e for _, e in iv]
+        non_mask = list(zip([0] + ends, starts + [y_len]))
+        parts = []
+        for j, (lo, hi) in enumerate(non_mask[:-1]):
+            parts.append(y[:, lo:hi])
+            parts.append(gen_spans[j])
+        lo, hi = non_mask[-1]
+        parts.append(y[:, lo:hi])
+        res = np.concatenate(parts, axis=1)
+        if cfg.special_first:
+            res = res - cfg.n_special
+        out.append(res)
+    return out
