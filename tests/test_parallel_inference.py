@@ -189,3 +189,33 @@ def test_mesh_streaming_matches_unsharded():
     s1 = np.concatenate([c["frames"] for c in plain], axis=1)
     s2 = np.concatenate([c["frames"] for c in meshed], axis=1)
     np.testing.assert_array_equal(s1, s2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_lane_sharded_edit_serving_matches_unsharded():
+    """Batched editing under the mesh: span-queue state, per-lane compact
+    gen_cnt scatter, and the mask-embedding prefill must survive GSPMD
+    lane sharding unchanged."""
+    from voicecraft_tpu.inference.serving import serve_edit_batch
+    cfg = dataclasses.replace(tiny_test(), compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(11))
+    rng = np.random.default_rng(8)
+    reqs = []
+    for b in range(4):
+        x = rng.integers(0, cfg.text_vocab_size, 8 + b).astype(np.int32)
+        yy = rng.integers(0, cfg.audio_vocab_size,
+                          (cfg.n_codebooks, 20 + 4 * b)).astype(np.int32)
+        iv = [(5, 9)] if b % 2 == 0 else [(3, 6), (12, 16)]
+        reqs.append((x, yy, iv))
+    scfg = SamplingConfig(top_k=1, silence_tokens=(5, 7))
+    pads = (32, 64, 256)
+
+    base = serve_edit_batch(params, cfg, reqs, scfg, seed=0, pads=pads)
+
+    mesh = make_mesh(4, 2)
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        outs = serve_edit_batch(sharded, cfg, reqs, scfg, seed=0, pads=pads,
+                                mesh=mesh)
+    for r1, r2 in zip(base, outs):
+        np.testing.assert_array_equal(r1, r2)
