@@ -58,6 +58,10 @@ def main():
     ap.add_argument("--train-batch", type=int, default=0,
                     help="override the training bench batch size "
                          "(default: 4 for >400M models, else 16)")
+    ap.add_argument("--edit-serve", type=int, default=0, metavar="LANES",
+                    help="aggregate batched speech-editing throughput with "
+                         "N distinct edit requests in lockstep "
+                         "(serve_edit_batch machinery, run to budget)")
     ap.add_argument("--engine", type=int, default=0, metavar="LANES",
                     help="measure continuous-batching aggregate throughput: "
                          "2x LANES mixed-length requests, lanes refill "
@@ -136,6 +140,9 @@ def main():
 
     if args.serve:
         _bench_serving(args, cfg, params, rng)
+        return
+    if args.edit_serve:
+        _bench_edit_serving(args, cfg, params, rng)
         return
     if args.engine:
         _bench_engine(args, cfg, params, rng)
@@ -480,6 +487,69 @@ def _bench_serving(args, cfg, params, rng, extra=None):
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf, 2),
         **(extra or {}),
+    }))
+
+
+def _bench_edit_serving(args, cfg, params, rng):
+    """Aggregate batched speech-editing throughput: N distinct edit
+    requests in lockstep (make_serving_edit_loop), every lane run to the
+    generation budget (bench_mode)."""
+    import jax.numpy as jnp
+    from voicecraft_tpu.data import spans
+    from voicecraft_tpu.models.voicecraft import SamplingConfig
+    from voicecraft_tpu.inference.serving import make_serving_edit_loop
+
+    B = args.edit_serve
+    K = cfg.n_codebooks
+    x_pad, y_pad, gen_max = 128, 192, args.frames
+    max_spans = cfg.max_n_spans
+    scfg = SamplingConfig(top_k=40, stop_repetition=3)
+    xt = rng.integers(0, cfg.text_vocab_size, (B, x_pad)).astype(np.int32)
+    x_lens = np.full((B,), x_pad, np.int32)
+    yt = np.full((B, K, y_pad), cfg.empty_token, np.int32)
+    mi = np.full((B, y_pad), -1, np.int32)
+    qm = np.zeros((B, max_spans), np.int32)
+    p_lens = np.zeros((B,), np.int32)
+    n_spans = np.zeros((B,), np.int32)
+    for b in range(B):
+        codes = rng.integers(0, cfg.audio_vocab_size,
+                             (K, args.prompt_frames)).astype(np.int32)
+        iv = [(args.prompt_frames // 4, args.prompt_frames // 2)]
+        pre, qids = spans.compose_edit_prefix(codes, iv, cfg)
+        yt[b, :, :pre.length] = pre.tokens
+        mi[b, :pre.length] = pre.mask_emb_idx
+        for j, v in enumerate(qids[:max_spans]):
+            qm[b, j] = v
+        p_lens[b] = pre.length
+        n_spans[b] = len(iv)
+    loop = make_serving_edit_loop(
+        cfg, batch_size=B, x_pad=x_pad, y_pad=y_pad, gen_max=gen_max,
+        scfg=scfg, max_spans=max_spans,
+        kv_dtype="float8_e4m3fn" if args.kv_fp8 else None, bench_mode=True)
+    a = (params, jnp.asarray(xt), jnp.asarray(x_lens), jnp.asarray(yt),
+         jnp.asarray(p_lens), jnp.asarray(mi), jnp.asarray(qm),
+         jnp.asarray(n_spans), jnp.zeros((B,), jnp.int32))
+    t0 = time.perf_counter()
+    out = loop(*a)
+    _ = np.asarray(out[2])
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = loop(*a)
+        cnt = np.asarray(out[2])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    frames = int(cnt.sum())
+    print(f"edit serving: {best:.2f}s for {frames} frames across {B} lanes",
+          file=sys.stderr)
+    rtf = frames / cfg.encodec_sr / best
+    print(json.dumps({
+        "metric": f"edit_serving_rtf_830m_b{B}",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf, 2),
     }))
 
 

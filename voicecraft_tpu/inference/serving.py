@@ -499,7 +499,8 @@ class EditServingState(NamedTuple):
 def make_serving_edit_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                            y_pad: int, gen_max: int, scfg: SamplingConfig,
                            max_spans: Optional[int] = None,
-                           kv_dtype: Optional[str] = None):
+                           kv_dtype: Optional[str] = None,
+                           bench_mode: bool = False):
     """Multi-stream speech editing: N *distinct* edit requests in lockstep.
 
     The single-sample edit decode (models/voicecraft.py make_decode_loop,
@@ -624,6 +625,11 @@ def make_serving_edit_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
             samples, new_eog, new_consec, new_prev = sample_lane(
                 step_rngs, s.logits, s.codebook_eog, s.cur_num_gen,
                 s.consec_silence, s.prev_token, y_pos, x_lens)
+            if bench_mode:
+                # benchmarking: never terminate, run every lane to budget
+                new_eog = jnp.zeros_like(new_eog)
+                samples = jnp.where(samples >= cfg.audio_vocab_size,
+                                    0, samples)
 
             span_complete = (jnp.all(new_eog, axis=1)
                              & jnp.logical_not(feeding) & active)
