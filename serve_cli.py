@@ -347,7 +347,9 @@ class Engine:
                 "latency_sec": time.time() - t0}
 
     def _batch_worker(self):
-        from voicecraft_tpu.inference.serving import serve_tts_batch
+        from voicecraft_tpu.inference.serving import (serve_tts_batch,
+                                                      serve_edit_batch)
+        from voicecraft_tpu.inference.editing import inference_edit
         from voicecraft_tpu.inference.tts import (inference_tts,
                                                   inference_tts_batch,
                                                   inference_tts_spec)
@@ -370,9 +372,33 @@ class Engine:
                     # their own seed), so mixed-seed waves are fine.
                     groups: dict = {}
                     for s in slots:
-                        k = (s["scfg"], s.get("sbs", 1))
+                        k = (s.get("kind", "tts"), s["scfg"],
+                             s.get("sbs", 1))
                         groups.setdefault(k, []).append(s)
-                    for (scfg, sbs), group in groups.items():
+                    for (kind, scfg, sbs), group in groups.items():
+                        if kind == "edit":
+                            if len(group) > 1 and self.spec <= 1:
+                                ereqs = [(s["x"], s["codes"],
+                                          [s["interval"]]) for s in group]
+                                seeds = [s["seed"] for s in group]
+                                if self.mesh is not None:
+                                    nd = self.mesh.shape["data"]
+                                    while len(ereqs) % nd:
+                                        ereqs.append(ereqs[-1])
+                                        seeds.append(0)
+                                outs = serve_edit_batch(
+                                    self.params, self.cfg, ereqs, scfg,
+                                    seeds=seeds, kv_dtype=self.kv_dtype,
+                                    mesh=self.mesh)
+                                for s, o in zip(group, outs):
+                                    s["result"] = o
+                            else:
+                                for s in group:
+                                    s["result"] = inference_edit(
+                                        self.params, self.cfg, s["x"],
+                                        s["codes"], [s["interval"]], scfg,
+                                        seed=s["seed"], spec=self.spec)
+                            continue
                         if len(group) > 1 and sbs == 1:
                             reqs_b = [(s["x"], s["codes"]) for s in group]
                             # lane-sharded waves need B % n_data == 0; pad
@@ -475,11 +501,14 @@ class Engine:
             right_margin=float(req.get("right_margin", req.get("margin", 0.08))),
             audio_dur=audio_dur, codec_sr=cfg.encodec_sr)
         x = self._phonemize(target_text)
-        with self.lock:
-            res = inference_edit(self.params, cfg, x, codes, [interval],
-                                 self._scfg(req),
-                                 seed=int(req.get("seed", self.args.seed)),
-                                 spec=self.spec)
+        # ride the micro-batcher: concurrent edit requests sharing a
+        # SamplingConfig decode as one serve_edit_batch wave
+        slot = {"kind": "edit", "x": x, "codes": codes, "interval": interval,
+                "scfg": self._scfg(req),
+                "seed": int(req.get("seed", self.args.seed)),
+                "result": None, "done": threading.Event()}
+        self._decode_sentences([slot])
+        res = slot["result"]
         out = ec.decode_bucketed(self.cparams, res[None], ccfg)[0]
         return {"wav_b64": self._wav_to_b64(out),
                 "edit_interval_frames": list(interval),

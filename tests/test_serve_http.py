@@ -286,3 +286,30 @@ def test_mesh_tts_and_stream(mesh_server):
     assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
     pcm = np.frombuffer(data[44:], dtype="<i2")
     assert pcm.size > 8000 and np.abs(pcm).max() > 0
+
+
+def test_concurrent_edits_batch_into_one_wave(server):
+    """Two concurrent /edit requests sharing a SamplingConfig ride one
+    serve_edit_batch wave through the micro-batcher (serve_cli
+    _batch_worker kind='edit' group)."""
+    b64 = _prompt_b64()
+    align = [{"Begin": 0.1, "End": 0.5, "Label": "a", "Type": "words"},
+             {"Begin": 0.5, "End": 1.0, "Label": "test", "Type": "words"},
+             {"Begin": 1.0, "End": 1.6, "Label": "prompt", "Type": "words"}]
+    results = [None, None]
+
+    def run(i, target):
+        results[i] = _post(server, "/edit", {
+            "wav_b64": b64, "orig_transcript": "a test prompt",
+            "target_transcript": target, "edit_type": "substitution",
+            "alignment": align, "top_k": 15, "silence_tokens": [5, 7],
+            "seed": 3 + i})
+
+    ths = [threading.Thread(target=run, args=(i, t))
+           for i, t in enumerate(["a great prompt", "a small prompt"])]
+    [t.start() for t in ths]
+    [t.join(timeout=420) for t in ths]
+    for r in results:
+        assert r is not None and "wav_b64" in r and len(r["wav_b64"]) > 1000
+        s, e = r["edit_interval_frames"]
+        assert 0 < s < e <= 101
