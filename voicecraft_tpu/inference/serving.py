@@ -395,6 +395,8 @@ def serve_tts_batch(params, cfg: ModelConfig,
     inference_tts output semantics per lane.
     """
     import time as _time
+    from .loader import _cpu_dtype_fix
+    cfg = _cpu_dtype_fix(cfg)   # CPU XLA can't do bf16 dots at B>1
     K = cfg.n_codebooks
     B = len(requests)
     prefixes = [spans.compose_tts_prefix(
@@ -704,12 +706,272 @@ def make_serving_edit_loop(cfg: ModelConfig, *, batch_size: int, x_pad: int,
     return jax.jit(decode)
 
 
+class SpecEditServingState(NamedTuple):
+    cache: jnp.ndarray
+    logits: jnp.ndarray          # [B, K, card] main-head logits, next slot
+    h: jnp.ndarray               # [B, D] hidden at last consumed position
+    rng: jnp.ndarray             # [B, 2] per-lane keys (token-index fold)
+    t: jnp.ndarray               # [B] slab rows past y_start (feeds + accepted)
+    gen_buf: jnp.ndarray         # [gen_max + tau, B, K]
+    span_buf: jnp.ndarray        # [gen_max + tau, B]
+    gen_cnt: jnp.ndarray         # [B] recorded tokens per lane
+    codebook_eog: jnp.ndarray    # [B, K]
+    cur_num_gen: jnp.ndarray     # [B]
+    consec_silence: jnp.ndarray  # [B]
+    prev_token: jnp.ndarray      # [B]
+    span_idx: jnp.ndarray        # [B]
+    queue: jnp.ndarray           # [B, 2, D] pending mask/empty feed embeds
+    queue_len: jnp.ndarray       # [B]
+    n_passes: jnp.ndarray        # scalar
+    pending: jnp.ndarray         # [B, K] stochastic-verify corrected token
+    has_pending: jnp.ndarray     # [B]
+    done: jnp.ndarray            # [B]
+
+
+def make_spec_serving_edit_loop(cfg: ModelConfig, *, batch_size: int,
+                                n_draft: int, x_pad: int, y_pad: int,
+                                gen_max: int, scfg: SamplingConfig,
+                                max_spans: Optional[int] = None,
+                                kv_dtype: Optional[str] = None,
+                                bench_mode: bool = False):
+    """Speculative multi-stream speech editing: N distinct edit requests,
+    tau tokens per lane per verified pass.
+
+    Vectorises make_spec_edit_loop (models/voicecraft.py) over lanes the
+    way make_spec_serving_loop vectorises the single-stream TTS spec loop:
+    the verify semantics live in inference/spec_common.spec_verify_pass and
+    this loop owns only the plumbing.  The one genuinely new situation is
+    that lanes can be in DIFFERENT modes within one pass — lane A runs a
+    sampling pass (drafts verified, advances by its accepted count) while
+    lane B runs a span-transition FEED pass (its two queued embeddings ride
+    slots 0-1 of the same tau-block via the ``mix_emb`` hook, advancing by
+    exactly 2; slots 2.. are rewind-trick garbage).  Because lanes advance
+    at different rates, each lane writes its block at its own compact slab
+    offset (transformer.decode_step_multi_block, offsets = y_start + t_b)
+    and validity stays per-lane length arithmetic — exactly the spec-TTS
+    serving story, with ``t_b`` counting feeds + accepted tokens.
+
+    Feed lanes are gated OFF in the verify core (their sampling state is
+    frozen); their next pass is seeded from the RAW block outputs at slot 1
+    (the empty embedding's logits open the next span, matching the plain
+    loop).  Greedy per-lane output is token-identical to the plain batched
+    edit loop AND to inference_edit(spec=) in f32; stochastic verification
+    composes per-lane by the same argument as the single-stream loop
+    (a pending capture and a span completion are mutually exclusive).
+
+    Returns jitted fn(params, x_tokens [B,x_pad], x_lens [B],
+      y_prefix [B,K,y_pad], prefix_lens [B], mask_emb_idx [B,y_pad],
+      queue_mask_ids [B,max_spans], n_spans [B], lane_seeds [B])
+      -> (gen_buf [gen_max+tau,B,K], span_buf [gen_max+tau,B], gen_cnt [B],
+          n_passes).
+
+    Matches reference voicecraft.py:561-906 editing semantics per lane.
+    """
+    from .spec_common import make_lane_sampler, spec_verify_pass
+    assert n_draft >= 2, "spec editing needs n_draft >= 2 (feed pass)"
+    K, D = cfg.n_codebooks, cfg.d_model
+    H, Dh, L = cfg.nhead, cfg.head_dim, cfg.num_decoder_layers
+    B = batch_size
+    tau = n_draft
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cache_dtype = jnp.dtype(kv_dtype) if kv_dtype else dtype
+    cap_mult = 10                                  # editing cap, voicecraft.py:751
+    if max_spans is None:
+        max_spans = cfg.max_n_spans
+    y_start = x_pad + y_pad
+    s_max = y_start + gen_max + tau + 2 * (max_spans - 1)
+    pe_np = sine_table(MAX_POS, D)
+    sample_lanes = make_lane_sampler(cfg, scfg, cap_mult, is_tts=False)
+
+    def decode(params, x_tokens, x_lens, y_prefix, prefix_lens,
+               mask_emb_idx, queue_mask_ids, n_spans, lane_seeds):
+        pe = jnp.asarray(pe_np).astype(dtype)
+        alpha_a = params["alpha_audio"].astype(dtype)
+        lane_keys = jax.vmap(
+            lambda s, b: jax.random.fold_in(jax.random.PRNGKey(s), b))(
+                lane_seeds, jnp.arange(B))
+        lane_ids = jnp.arange(B)
+
+        # ---- prefill (identical to make_serving_edit_loop) ----
+        x_emb = jnp.take(params["text_emb"]["weight"], x_tokens,
+                         axis=0).astype(dtype)
+        x_in = x_emb + params["alpha_text"].astype(dtype) * pe[:x_pad]
+        y_emb = embed_audio_tokens(params["audio_emb"], y_prefix).astype(dtype)
+        is_mask = mask_emb_idx >= 0                          # [B, y_pad]
+        mask_vecs = jnp.take(params["mask_emb"],
+                             jnp.maximum(mask_emb_idx, 0),
+                             axis=0).astype(dtype)           # [B, y_pad, D]
+        y_emb = jnp.where(is_mask[..., None], mask_vecs, y_emb)
+        y_in = y_emb + alpha_a * pe[:y_pad]
+        xy = jnp.concatenate([x_in, y_in], axis=1)
+
+        from ..ops.flash_attention import (flash_prefix_attention,
+                                           use_flash_prefill)
+        if use_flash_prefill(y_start):
+            bias = lambda q, k, v: flash_prefix_attention(
+                q, k, v, x_lens, prefix_lens, x_pad, cfg.nhead)
+        else:
+            jj = jnp.arange(y_start)
+            key_valid = ((jj[None, :] < x_lens[:, None])
+                         | ((jj[None, :] >= x_pad)
+                            & (jj[None, :] < x_pad + prefix_lens[:, None])))
+            allowed = (jj[None, :] <= jj[:, None])[None] & key_valid[:, None, :]
+            bias = jnp.where(allowed, 0.0,
+                             NEG_INF).astype(jnp.float32)[:, None]
+
+        cache = trm.init_kv_cache(L, B, s_max, H, Dh, cache_dtype)
+        h, cache = trm.prefill(params["decoder"], xy, bias, cache, cfg.nhead)
+        last_idx = x_pad + prefix_lens - 1
+        h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)
+        logits0 = apply_heads(params["heads"], h_last)[:, 0]
+
+        empty_emb = embed_audio_tokens(
+            params["audio_emb"],
+            jnp.full((1, K, 1), cfg.empty_token,
+                     jnp.int32))[0, 0].astype(dtype)         # [D]
+
+        state = SpecEditServingState(
+            cache=cache, logits=logits0,
+            h=h_last[:, 0].astype(jnp.float32), rng=lane_keys,
+            t=jnp.zeros((B,), jnp.int32),
+            gen_buf=jnp.zeros((gen_max + tau, B, K), jnp.int32),
+            span_buf=jnp.zeros((gen_max + tau, B), jnp.int32),
+            gen_cnt=jnp.zeros((B,), jnp.int32),
+            codebook_eog=jnp.zeros((B, K), bool),
+            cur_num_gen=jnp.zeros((B,), jnp.int32),
+            consec_silence=jnp.zeros((B,), jnp.int32),
+            prev_token=jnp.full((B,), -1, jnp.int32),
+            span_idx=jnp.zeros((B,), jnp.int32),
+            queue=jnp.zeros((B, 2, D), dtype),
+            queue_len=jnp.zeros((B,), jnp.int32),
+            n_passes=jnp.asarray(0, jnp.int32),
+            pending=jnp.zeros((B, K), jnp.int32),
+            has_pending=jnp.zeros((B,), bool),
+            done=jnp.zeros((B,), bool))
+
+        def cond(s: SpecEditServingState):
+            return jnp.logical_not(jnp.all(s.done))
+
+        def body(s: SpecEditServingState) -> SpecEditServingState:
+            # ~done implies gen_cnt < gen_max (budget sets done below), but
+            # keep the active guard self-evident
+            active = jnp.logical_not(s.done) & (s.gen_cnt < gen_max)  # [B]
+            feeding = (s.queue_len > 0) & active
+            gate = active & jnp.logical_not(feeding)
+
+            def tok_key(i):
+                # per-(lane, recorded-token-index): invariant to acceptance
+                # patterns and tau, the single-stream spec-edit schedule
+                return jax.vmap(jax.random.fold_in)(s.rng, s.gen_cnt + i)
+
+            # feed lanes substitute [mask_emb(next), empty_emb, 0...] for
+            # their token embeddings; their verify lanes are gated off
+            feed_emb = jnp.concatenate(
+                [s.queue, jnp.zeros((B, tau - 2, D), dtype)], axis=1)
+            mix = lambda e: jnp.where(feeding[:, None, None], feed_emb, e)
+
+            cell = {}
+
+            def forward(feed):
+                h_blk, cell["cache"] = trm.decode_step_multi_block(
+                    params["decoder"], feed, s.cache, y_start + s.t,
+                    cfg.nhead, x_lens, x_pad, prefix_lens, y_start,
+                    gen_lens=s.t)
+                return h_blk
+
+            out = spec_verify_pass(
+                params, cfg, sample_lanes, tau=tau, gate=gate,
+                tok_key=tok_key, y_pos0=prefix_lens + s.t, x_lens=x_lens,
+                logits=s.logits, h=s.h, eog=s.codebook_eog,
+                cng=s.cur_num_gen, consec=s.consec_silence,
+                prev=s.prev_token, t=s.gen_cnt, accept_cap=gen_max, pe=pe,
+                alpha_a=alpha_a, dtype=dtype, forward=forward,
+                mix_emb=mix, bench_mode=bench_mode, scfg=scfg,
+                is_tts=False, cap_mult=cap_mult,
+                pending=s.pending, has_pending=s.has_pending)
+
+            # -- record accepted prefixes at per-lane compact offsets;
+            #    rows >= n_acc are garbage beyond the lane's validity,
+            #    overwritten by later passes or never read --
+            r_idx = s.gen_cnt[:, None] + jnp.arange(tau)[None, :]  # [B, tau]
+            gen_buf = s.gen_buf.at[r_idx, lane_ids[:, None]].set(out["blk"])
+            span_buf = s.span_buf.at[r_idx, lane_ids[:, None]].set(
+                jnp.broadcast_to(s.span_idx[:, None], (B, tau)))
+            gen_cnt = s.gen_cnt + out["n_acc"]
+
+            # -- span transition bookkeeping (voicecraft.py:827-858),
+            #    vectorised; all accepted slots of a pass share span_idx
+            #    because `alive` kills slots after an accepted all-eog --
+            eog_f = out["eog"]
+            span_complete = gate & jnp.all(eog_f, axis=1)
+            more_spans = (s.span_idx + 1) < n_spans
+            start_next = span_complete & more_spans
+            next_mask_id = queue_mask_ids[
+                lane_ids, jnp.minimum(s.span_idx + 1, max_spans - 1)]
+            new_queue = jnp.stack(
+                [jnp.take(params["mask_emb"], next_mask_id,
+                          axis=0).astype(dtype),
+                 jnp.broadcast_to(empty_emb, (B, D))], axis=1)  # [B, 2, D]
+            # a feed pass consumes BOTH queued embeddings in one block
+            queue = jnp.where(start_next[:, None, None], new_queue, s.queue)
+            queue_len = jnp.where(start_next, 2,
+                                  jnp.where(feeding, 0, s.queue_len))
+            done = (s.done | (span_complete & jnp.logical_not(more_spans))
+                    | (gen_cnt >= gen_max))
+            span_idx = s.span_idx + start_next.astype(jnp.int32)
+
+            # per-span resets; feed/frozen lanes' verify-carry state is
+            # already gate-frozen by the verify core
+            codebook_eog = jnp.where(span_complete[:, None],
+                                     jnp.zeros_like(eog_f), eog_f)
+            cur_num_gen = jnp.where(span_complete, 0, out["cng"])
+            consec = jnp.where(span_complete, 0, out["consec"])
+            prev = jnp.where(span_complete, -1, out["prev"])
+
+            # -- per-lane advance + next-pass seeding: feed lanes advance 2
+            #    and hand over the SECOND feed's raw outputs (the empty
+            #    embedding's logits open the next span); sampling lanes use
+            #    the gate-aware *_next fields --
+            n_adv = jnp.where(feeding, 2, out["n_acc"])
+            logits_next = jnp.where(
+                feeding[:, None, None],
+                out["logits_blk"][:, 1].astype(s.logits.dtype),
+                out["logits_next"])
+            h_next = jnp.where(feeding[:, None],
+                               out["h_blk"][:, 1].astype(jnp.float32),
+                               out["h_next"])
+
+            return SpecEditServingState(
+                cache=cell["cache"], logits=logits_next, h=h_next,
+                rng=s.rng, t=s.t + n_adv, gen_buf=gen_buf,
+                span_buf=span_buf, gen_cnt=gen_cnt,
+                codebook_eog=codebook_eog, cur_num_gen=cur_num_gen,
+                consec_silence=consec, prev_token=prev, span_idx=span_idx,
+                queue=queue, queue_len=queue_len,
+                n_passes=s.n_passes + 1, pending=out["pending"],
+                has_pending=out["has_pending"], done=done)
+
+        final = jax.lax.while_loop(cond, body, state)
+        return (final.gen_buf, final.span_buf, final.gen_cnt,
+                final.n_passes)
+
+    return jax.jit(decode)
+
+
 @lru_cache(maxsize=8)
 def _get_serving_edit_loop(cfg, B, x_pad, y_pad, gen_max, scfg, max_spans,
                            kv_dtype=None):
     return make_serving_edit_loop(cfg, batch_size=B, x_pad=x_pad,
                                   y_pad=y_pad, gen_max=gen_max, scfg=scfg,
                                   max_spans=max_spans, kv_dtype=kv_dtype)
+
+
+@lru_cache(maxsize=8)
+def _get_spec_serving_edit_loop(cfg, B, n_draft, x_pad, y_pad, gen_max,
+                                scfg, max_spans, kv_dtype=None):
+    return make_spec_serving_edit_loop(
+        cfg, batch_size=B, n_draft=n_draft, x_pad=x_pad, y_pad=y_pad,
+        gen_max=gen_max, scfg=scfg, max_spans=max_spans, kv_dtype=kv_dtype)
 
 
 def serve_edit_batch(params, cfg: ModelConfig,
@@ -719,6 +981,7 @@ def serve_edit_batch(params, cfg: ModelConfig,
                      seed: int = 1,
                      pads: Optional[Tuple[int, int, int]] = None,
                      kv_dtype: Optional[str] = None,
+                     spec: int = 0,
                      mesh=None,
                      seeds: Optional[Sequence[int]] = None,
                      stats: Optional[dict] = None) -> List[np.ndarray]:
@@ -737,9 +1000,17 @@ def serve_edit_batch(params, cfg: ModelConfig,
     (f32; cross-batch reduction ties aside, CLAUDE.md).  ``seeds``/
     ``mesh``/``stats`` as in :func:`serve_tts_batch`.
 
+    ``spec=TAU`` (>=2) uses verified speculative decoding over all lanes
+    (make_spec_serving_edit_loop): requires params["mtp_heads"]; greedy
+    per-lane output matches the plain lanes AND inference_edit(spec=)
+    (f32); sampled output uses the per-token-index key schedule and is
+    invariant to TAU.
+
     Returns [spliced_codes [K, T']] per request.
     """
     import time as _time
+    from .loader import _cpu_dtype_fix
+    cfg = _cpu_dtype_fix(cfg)   # CPU XLA can't do bf16 dots at B>1
     K = cfg.n_codebooks
     B = len(requests)
     shifted, intervals_l, comps, queue_ids_l = [], [], [], []
@@ -795,16 +1066,29 @@ def serve_edit_batch(params, cfg: ModelConfig,
             for a in arrs)
 
     t0 = _time.perf_counter()
-    loop = _get_serving_edit_loop(cfg, B, x_pad, y_pad, gen_max, scfg,
-                                  max_spans, kv_dtype)
-    gen_buf, span_buf, gen_cnt = loop(params, *arrs)
+    tok_per_pass = None
+    if spec > 1:
+        from ..models.voicecraft import check_mtp_heads
+        check_mtp_heads(params, spec, scfg)
+        loop = _get_spec_serving_edit_loop(cfg, B, spec, x_pad, y_pad,
+                                           gen_max, scfg, max_spans,
+                                           kv_dtype)
+        gen_buf, span_buf, gen_cnt, n_passes = loop(params, *arrs)
+        np_ = int(n_passes)
+        gen_cnt = np.asarray(gen_cnt)
+        if np_ > 0:
+            tok_per_pass = float(gen_cnt.mean()) / np_
+    else:
+        loop = _get_serving_edit_loop(cfg, B, x_pad, y_pad, gen_max, scfg,
+                                      max_spans, kv_dtype)
+        gen_buf, span_buf, gen_cnt = loop(params, *arrs)
+        gen_cnt = np.asarray(gen_cnt)
     gen_buf = np.asarray(gen_buf)
     span_buf = np.asarray(span_buf)
-    gen_cnt = np.asarray(gen_cnt)
     if stats is not None:
         stats.update(frames=int(gen_cnt.sum()),
                      seconds=_time.perf_counter() - t0,
-                     spec=0, tok_per_pass=None)
+                     spec=spec, tok_per_pass=tok_per_pass)
 
     out = []
     for b, (y, iv) in enumerate(zip(shifted, intervals_l)):
