@@ -41,7 +41,7 @@ def main():
                     help="decode N manifest rows per lockstep wave "
                          "(serve_edit_batch — batch-1 decode streams all "
                          "weights per step, so N lanes cost ~one row); "
-                         "incompatible with --spec")
+                         "composes with --spec (speculative waves)")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--spec-sampling", default="exact",
                     choices=["exact", "stochastic"])
@@ -84,9 +84,6 @@ def main():
                           stop_repetition=args.stop_repetition,
                           silence_tokens=tuple(args.silence_tokens),
                           spec_sampling=args.spec_sampling)
-
-    assert not (args.lanes > 1 and args.spec > 1), \
-        "--lanes batching and --spec are mutually exclusive"
 
     # ---- prepare every row (host: audio load, codec encode, span calc) ----
     prepared = []      # (i, row, stem, x, codes, intervals)
@@ -153,7 +150,7 @@ def main():
                     outs = serve_edit_batch(
                         params, cfg, [(x, c, iv) for _, _, _, x, c, iv
                                       in chunk],
-                        scfg, seed=args.seed + s)
+                        scfg, seed=args.seed + s, spec=args.spec)
                     for (i, row, stem, _, _, iv), res in zip(chunk, outs):
                         emit(row, stem, res, args.seed + s)
                         done_rows.add(i)

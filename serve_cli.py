@@ -95,10 +95,17 @@ class Engine:
                         "heads (train_cli --n-mtp); speculative serving "
                         "disabled", spec_arg)
             self.spec = 0
+        # one policy per tier: TTS waves and edit waves have different
+        # economics, so their throughput samples must not be pooled
+        self.autospec_edit = None
+        self.autospec_stream = None
         if self.autospec is not None:
-            log.info("adaptive speculation enabled (tau=%d): waves probe "
-                     "plain vs spec throughput online and serve from the "
-                     "faster mode", self.spec)
+            from voicecraft_tpu.inference.autospec import AutoSpecPolicy
+            self.autospec_edit = AutoSpecPolicy(taus=self.autospec.taus)
+            self.autospec_stream = AutoSpecPolicy(taus=self.autospec.taus)
+            log.info("adaptive speculation enabled (arms=%s): waves probe "
+                     "per-arm throughput online and serve from the "
+                     "fastest", self.autospec.arms)
         self.queue: "queue.Queue" = queue.Queue()
         self.lock = threading.Lock()
         # rerun sessions: sid -> {"codes", "prompt_end", "scfg", "seed",
@@ -298,18 +305,27 @@ class Engine:
             for i, target in enumerate(targets):
                 x = self._phonemize(target)
                 n_data = self.mesh.shape["data"] if self.mesh else 1
+                # engine tier rides its own autospec arm (the engine is
+                # constructed per stream, so arm choice is per sentence)
+                smode = (self.autospec_stream.next_mode()
+                         if self.autospec_stream is not None else self.spec)
+                t0, n_frames = time.time(), 0
                 for chunk in stream_tts(self.params, self.cfg, x, codes,
                                         scfg, seed=seed + i,
                                         cparams=self.cparams,
                                         ccfg=ccfg, kv_dtype=self.kv_dtype,
-                                        spec=self.spec, mesh=self.mesh,
+                                        spec=smode, mesh=self.mesh,
                                         lanes=n_data,
                                         burst=int(req.get("burst", 48))):
+                    n_frames += chunk["frames"].shape[1]
                     audio = chunk.get("audio")
                     if audio is not None and audio.size:
                         pcm = np.round(np.clip(audio, -1, 1)
                                        * 32767).astype("<i2")
                         yield pcm.tobytes()
+                if self.autospec_stream is not None:
+                    self.autospec_stream.observe(smode, n_frames,
+                                                 time.time() - t0)
 
     def rerun(self, req: dict) -> dict:
         """Regenerate one sentence of a previous TTS session
@@ -363,6 +379,8 @@ class Engine:
                 except queue.Empty:
                     break
             try:
+                log.info("micro-batch wave: %d slot(s) [%s]", len(slots),
+                         ",".join(s.get("kind", "tts") for s in slots))
                 with self.lock:
                     # batch only requests that share a SamplingConfig —
                     # the lockstep loop is specialized on one scfg;
@@ -377,7 +395,7 @@ class Engine:
                         groups.setdefault(k, []).append(s)
                     for (kind, scfg, sbs), group in groups.items():
                         if kind == "edit":
-                            if len(group) > 1 and self.spec <= 1:
+                            if len(group) > 1:
                                 ereqs = [(s["x"], s["codes"],
                                           [s["interval"]]) for s in group]
                                 seeds = [s["seed"] for s in group]
@@ -386,10 +404,20 @@ class Engine:
                                     while len(ereqs) % nd:
                                         ereqs.append(ereqs[-1])
                                         seeds.append(0)
+                                emode = (self.autospec_edit.next_mode()
+                                         if self.autospec_edit is not None
+                                         else self.spec)
+                                estats: dict = {}
                                 outs = serve_edit_batch(
                                     self.params, self.cfg, ereqs, scfg,
                                     seeds=seeds, kv_dtype=self.kv_dtype,
-                                    mesh=self.mesh)
+                                    mesh=self.mesh, spec=emode,
+                                    stats=estats)
+                                if self.autospec_edit is not None:
+                                    self.autospec_edit.observe(
+                                        emode, estats["frames"],
+                                        estats["seconds"],
+                                        tok_per_pass=estats["tok_per_pass"])
                                 for s, o in zip(group, outs):
                                     s["result"] = o
                             else:
@@ -661,6 +689,11 @@ def make_handler(engine: Engine):
                     "n_codebooks": engine.cfg.n_codebooks}
                 if engine.autospec is not None:
                     info["autospec"] = engine.autospec.snapshot()
+                if engine.autospec_edit is not None:
+                    info["autospec_edit"] = engine.autospec_edit.snapshot()
+                if engine.autospec_stream is not None:
+                    info["autospec_stream"] = (
+                        engine.autospec_stream.snapshot())
                 self._send(200, json.dumps(info))
             else:
                 self._send(404, json.dumps({"error": "not found"}))
@@ -729,15 +762,17 @@ def main():
     ap.add_argument("--kv-fp8", action="store_true",
                     help="fp8 KV slab for multi-lane serving (halves the "
                          "dominant HBM traffic at 16+ lanes)")
-    ap.add_argument("--spec", default="0", metavar="TAU|auto[:TAU]",
+    ap.add_argument("--spec", default="0", metavar="TAU|auto[:T1,T2..]",
                     help="speculative decoding with TAU tokens per verified "
                          "pass (checkpoint must carry MTP heads); applies "
                          "to both lone requests and micro-batched lanes. "
-                         "'auto' measures plain-vs-spec throughput on live "
-                         "waves and serves batches from the faster mode "
+                         "'auto' runs a per-tier bandit over arms "
+                         "{plain, tau=4, full MTP depth} — TTS waves, edit "
+                         "waves, and /tts_stream each measure their own "
+                         "arms on live traffic and serve from the fastest "
                          "(lone requests always use spec, the measured "
-                         "single-stream win); TAU defaults to the "
-                         "checkpoint's full MTP depth")
+                         "single-stream win); 'auto:T1,T2' picks the arm "
+                         "taus explicitly")
     ap.add_argument("--mesh", default=None, metavar="DATAxMODEL",
                     help="multi-chip serving: shard lanes over a data axis "
                          "and params over a model axis, e.g. 4x2 "

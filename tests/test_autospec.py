@@ -74,6 +74,58 @@ def test_observe_validation():
     assert p.snapshot()["n_spec"] == 0
 
 
+def test_multi_arm_probe_rotates_then_exploits_middle_arm():
+    """Three arms {0, 4, 8}: the probe phase visits every arm (deepest
+    first), then the bandit exploits the measured winner even when it is
+    neither plain nor the deepest tau — tau itself is the decision
+    (VERDICT r03 #6: at 830M B=8, tau=8 won while tau=4 lost; at other
+    lane counts the ordering flips)."""
+    p = AutoSpecPolicy(taus=[4, 8], probe_waves=1, reprobe_every=100)
+    seen = []
+    for _ in range(3):
+        m = p.next_mode()
+        seen.append(m)
+        _feed(p, m, {0: 100, 4: 300, 8: 200}[m])
+    assert seen == [8, 4, 0]
+    assert all(p.next_mode() == 4 for _ in range(5))
+    snap = p.snapshot()
+    assert snap["serving_mode"] == 4
+    assert set(snap["arms"]) == {"0", "4", "8"}
+    assert snap["arms"]["4"]["fps"] == 300.0
+
+
+def test_multi_arm_reprobe_drives_arm_switch():
+    """The world flips mid-run (acceptance tanks): reprobes must resample
+    the other arms and move the serving arm."""
+    p = AutoSpecPolicy(taus=[4, 8], probe_waves=1, reprobe_every=3,
+                       window=2)
+    _feed(p, 8, 400, n=2)
+    _feed(p, 4, 200, n=2)
+    _feed(p, 0, 100, n=2)
+    assert p.next_mode() == 8
+    for _ in range(30):
+        m = p.next_mode()
+        # new regime: plain is now fastest, spec arms collapse
+        _feed(p, m, {0: 500, 4: 50, 8: 40}[m])
+    assert p.snapshot()["serving_mode"] == 0
+
+
+def test_multi_arm_back_compat_single_tau():
+    p = AutoSpecPolicy(tau=8)
+    assert p.taus == [8] and p.arms == [0, 8] and p.tau == 8
+
+
+def test_resolve_spec_arg_multi():
+    heads = {"mtp_heads": {"w": np.zeros((7, 4, 4))}}   # n_mtp = 7
+    tau, pol = resolve_spec_arg("auto", heads)
+    # default arm set {plain, 4, depth}: deepest arm is the returned tau
+    assert tau == 8 and pol.taus == [4, 8]
+    tau, pol = resolve_spec_arg("auto:2,4,8", heads)
+    assert tau == 8 and pol.taus == [2, 4, 8]
+    tau, pol = resolve_spec_arg("auto:4,99", heads)
+    assert pol.taus == [4, 8]     # capped at depth
+
+
 def test_resolve_spec_arg():
     heads = {"mtp_heads": {"w": np.zeros((3, 4, 4))}}   # n_mtp = 3
     assert resolve_spec_arg(0, {}) == (0, None)

@@ -301,6 +301,14 @@ def tiny_test() -> ModelConfig:
     )
 
 
+def tiny_test_mtp() -> ModelConfig:
+    """tiny_test + 3 MTP head groups (tau <= 4): lets the CLIs smoke the
+    speculative paths (--spec / --spec auto) with --random-init."""
+    cfg = tiny_test()
+    import dataclasses
+    return dataclasses.replace(cfg, n_mtp=3)
+
+
 def proc50M() -> ModelConfig:
     """~50M-param small-but-real model for the in-env speculative-acceptance
     measurement: pretrained on the procedural corpus
@@ -322,5 +330,6 @@ PRESETS = {
     "giga830M": giga830M,
     "giga830M_TTSEnhanced": giga830M_tts_enhanced,
     "tiny_test": tiny_test,
+    "tiny_test_mtp": tiny_test_mtp,
     "proc50M": proc50M,
 }
