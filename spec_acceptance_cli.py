@@ -52,6 +52,72 @@ def load_eval_items(eval_dir, cparams, ccfg, tok, phn2num, n, prompt_sec):
     return items
 
 
+def run_edit_mode(args, cfg, params, items, scfg, results):
+    """Editing-mode acceptance: mask a middle span of each held-out
+    utterance and regenerate it, plain vs spec, at B=1 (single-stream
+    proxy) and B=lanes (serving waves).  Both modes share one
+    serve_edit_batch geometry (pads=) so the comparison is compile-fair;
+    every config runs twice (warm, then measured).  Matches reference
+    editing semantics voicecraft.py:561-906 per lane."""
+    import logging
+    import time
+    from voicecraft_tpu.inference.serving import serve_edit_batch
+
+    f0, f1 = args.edit_span
+    ereqs = []
+    for it in items:
+        T = it["codes"].shape[1]
+        s, e = max(1, int(T * f0)), min(T - 1, int(T * f1))
+        if e - s < 4:
+            continue
+        ereqs.append((it["x"], it["codes"], [(s, e)]))
+    results["edit"] = {"span": [f0, f1], "n_items": len(ereqs)}
+
+    # shared geometry across every config in this run
+    cap = cfg.encodec_sr // 5
+    K = cfg.n_codebooks
+    x_max = max(len(x) for x, _, _ in ereqs)
+    y_max = max(c.shape[1] + 2 for _, c, _ in ereqs)
+    gmax = max(int(np.ceil((e - s) * 1.5)) + 2 * K + 8
+               for _, _, [(s, e)] in ereqs)
+    pads = (int(np.ceil(x_max / 32) * 32), int(np.ceil(y_max / 64) * 64),
+            int(np.ceil(gmax / 128) * 128))
+
+    def measure(B, tau):
+        reqs_b = ereqs[:B]
+        stats: dict = {}
+        serve_edit_batch(params, cfg, reqs_b, scfg, seed=1, pads=pads,
+                         spec=tau, stats=stats)           # warm/compile
+        stats = {}
+        serve_edit_batch(params, cfg, reqs_b, scfg, seed=1, pads=pads,
+                         spec=tau, stats=stats)
+        return stats
+
+    for B, name in ((1, "edit_single"), (args.lanes, "edit_serving")):
+        if len(ereqs) < B:
+            logging.info("not enough items for B=%d, skipping %s", B, name)
+            continue
+        plain = measure(B, 0)
+        plain_fps = plain["frames"] / plain["seconds"]
+        results["edit"][name] = {
+            "plain_frames_per_sec": plain_fps, "lanes": B}
+        logging.info("%s plain B=%d: %.0f frames/s", name, B, plain_fps)
+        for tau in args.taus:
+            if tau - 1 > results["n_mtp"]:
+                logging.info("skipping tau=%d (> n_mtp+1)", tau)
+                continue
+            st = measure(B, tau)
+            fps = st["frames"] / st["seconds"]
+            results["edit"][name][tau] = {
+                "tokens_per_pass_per_lane": st["tok_per_pass"],
+                "frames_per_sec": fps,
+                "speedup_vs_plain": fps / plain_fps,
+            }
+            logging.info("%s tau=%d B=%d: %.2f tok/pass/lane, %.0f "
+                         "frames/s (%.2fx plain)", name, tau, B,
+                         st["tok_per_pass"] or -1, fps, fps / plain_fps)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", required=True)
@@ -77,6 +143,15 @@ def main():
                     help="stochastic-mode draft proposal temperature "
                          "(<0 = sampling temperature; small values, e.g. "
                          "0.1, sharpen q toward the MTP argmax)")
+    ap.add_argument("--edit", action="store_true",
+                    help="measure SPEECH EDITING spec acceptance instead of "
+                         "TTS: each held-out utterance gets a middle span "
+                         "masked (--edit-span) and regenerated via "
+                         "serve_edit_batch at B=1 (single-stream proxy) and "
+                         "B=lanes, plain vs spec")
+    ap.add_argument("--edit-span", type=float, nargs=2, default=[0.4, 0.7],
+                    metavar=("FRAC_START", "FRAC_END"),
+                    help="masked interval as fractions of the utterance")
     ap.add_argument("--skip-engine", action="store_true")
     ap.add_argument("--skip-single", action="store_true",
                     help="measure only serving/engine (skips the "
@@ -128,6 +203,11 @@ def main():
     results = {"n_mtp": n_mtp, "temperature": args.temperature,
                "spec_sampling": args.spec_sampling,
                "single": {}, "serving": {}, "engine": {}}
+
+    if args.edit:
+        run_edit_mode(args, cfg, params, items, scfg, results)
+        print(json.dumps(results, indent=2, default=float))
+        return
 
     # ---- plain single-stream reference (wall-clock + token lengths) ----
     def run_single_plain():
