@@ -109,10 +109,15 @@ def main():
     start_sec, end_sec = get_mask_interval(words, tuple(orig_span),
                                            args.edit_type)
     # margins + clamp (reference inference_speech_editing_scale.py:196-197:
-    # floor at one codec frame, ceil at the audio duration, round() to frames)
+    # floor at one codec frame, ceil at the audio duration, round() to
+    # frames); energy-aligner timestamps auto-widen to the characterized
+    # p90 boundary error so word edges aren't clipped
+    from voicecraft_tpu.align import widen_margins_for_aligner
+    left_m, right_m, _ = widen_margins_for_aligner(
+        words, args.left_margin, args.right_margin)
     sr = cfg.encodec_sr
-    start_sec = max(start_sec - args.left_margin, 1.0 / sr)
-    end_sec = min(end_sec + args.right_margin, audio_dur)
+    start_sec = max(start_sec - left_m, 1.0 / sr)
+    end_sec = min(end_sec + right_m, audio_dur)
     interval = (round(start_sec * sr), round(end_sec * sr))
     logging.info("edit span: words %s -> %.2f..%.2fs -> frames %s",
                  orig_span, start_sec, end_sec, interval)

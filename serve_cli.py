@@ -523,10 +523,16 @@ class Engine:
             start_sec, end_sec = get_mask_interval(rows, tuple(orig_span),
                                                    req["edit_type"])
 
+        left_m = float(req.get("left_margin", req.get("margin", 0.08)))
+        right_m = float(req.get("right_margin", req.get("margin", 0.08)))
+        if "edit_start_sec" not in req:
+            # energy-aligner timestamps auto-widen to the characterized
+            # p90 boundary error so word edges aren't clipped (align.py)
+            from voicecraft_tpu.align import widen_margins_for_aligner
+            left_m, right_m, _ = widen_margins_for_aligner(
+                rows, left_m, right_m)
         interval = morph_edit_span(
-            start_sec, end_sec,
-            left_margin=float(req.get("left_margin", req.get("margin", 0.08))),
-            right_margin=float(req.get("right_margin", req.get("margin", 0.08))),
+            start_sec, end_sec, left_margin=left_m, right_margin=right_m,
             audio_dur=audio_dur, codec_sr=cfg.encodec_sr)
         x = self._phonemize(target_text)
         # ride the micro-batcher: concurrent edit requests sharing a

@@ -94,3 +94,50 @@ def test_align_words_fallback_without_asr():
     wav, _ = _three_burst_wav()
     rows = align_words(wav, SR, "a b c", asr_model_path="/nonexistent/path")
     assert len(rows) == 3 and all(r["Type"] == "words" for r in rows)
+
+
+def test_widen_margins_for_energy_rows():
+    """Energy-sourced rows floor the edit margins at the characterized p90
+    boundary error; MFA/whisper rows pass margins through untouched."""
+    from voicecraft_tpu.align import (ENERGY_P90_SEC,
+                                      widen_margins_for_aligner)
+    energy_rows = [{"Label": "a", "Begin": 0.1, "End": 0.3,
+                    "Type": "words", "Source": "energy"}]
+    mfa_rows = [{"Label": "a", "Begin": 0.1, "End": 0.3, "Type": "words"}]
+    l, r, w = widen_margins_for_aligner(energy_rows, 0.08, 0.08)
+    assert w and l == r == ENERGY_P90_SEC
+    l, r, w = widen_margins_for_aligner(energy_rows, 0.15, 0.05)
+    assert w and (l, r) == (0.15, ENERGY_P90_SEC)
+    l, r, w = widen_margins_for_aligner(energy_rows, 0.2, 0.2)
+    assert not w and (l, r) == (0.2, 0.2)          # already wide enough
+    l, r, w = widen_margins_for_aligner(mfa_rows, 0.08, 0.08)
+    assert not w and (l, r) == (0.08, 0.08)
+
+
+def test_energy_margin_survives_p90_boundary_error():
+    """Regression for the guard's purpose: with every boundary perturbed by
+    the full characterized p90 error (in the worst direction), the widened
+    edit interval must still contain the true word span — the default
+    0.08 s margins alone would clip it."""
+    from voicecraft_tpu.align import ENERGY_P90_SEC
+    from voicecraft_tpu.align import widen_margins_for_aligner
+    true_begin, true_end = 1.000, 1.400
+    p90 = ENERGY_P90_SEC
+    # worst case: the aligner places the word shifted INWARD by p90 on
+    # both edges (late begin, early end)
+    rows = [
+        {"Label": "alpha", "Begin": 0.1, "End": 0.9, "Type": "words",
+         "Source": "energy"},
+        {"Label": "bravo", "Begin": true_begin + p90,
+         "End": true_end - p90, "Type": "words", "Source": "energy"},
+        {"Label": "charl", "Begin": 1.5, "End": 2.0, "Type": "words",
+         "Source": "energy"},
+    ]
+    span, _ = get_span("alpha bravo charl", "alpha delta charl",
+                       "substitution")
+    s, e = get_mask_interval(rows, tuple(span), "substitution")
+    # default reference margins would clip: 0.08 < p90
+    assert s - 0.08 > true_begin and e + 0.08 < true_end
+    left, right, widened = widen_margins_for_aligner(rows, 0.08, 0.08)
+    assert widened
+    assert s - left <= true_begin and e + right >= true_end

@@ -125,8 +125,43 @@ def energy_align(wav: np.ndarray, sr: int, words: Sequence[str],
         t0 = _voiced_time_to_abs(segs, cum[i] * total_voiced)
         t1 = _voiced_time_to_abs(segs, cum[i + 1] * total_voiced)
         rows.append({"Label": w, "Begin": round(float(t0), 4),
-                     "End": round(float(t1), 4), "Type": "words"})
+                     "End": round(float(t1), 4), "Type": "words",
+                     "Source": "energy"})
     return rows
+
+
+# characterized word-boundary error of energy_align on clean speech with
+# exact ground truth (tests/test_align_characterization.py): median 35 ms,
+# p90 97 ms.  Editing margins below the p90 risk clipping word edges when
+# the energy aligner is the timestamp source.
+ENERGY_P90_SEC = 0.097
+
+
+def widen_margins_for_aligner(rows: Sequence[Dict], left: float,
+                              right: float) -> tuple:
+    """Auto-widen edit margins to the aligner's characterized p90 error.
+
+    The reference's 0.08 s default margins
+    (inference_speech_editing_scale.py:24-37) assume MFA-quality
+    timestamps.  When ``rows`` came from the energy aligner (tagged
+    ``Source == "energy"``), a boundary can be off by up to ~97 ms (p90),
+    so margins below that would clip word edges roughly one edit in ten.
+    Returns (left, right, widened) with both margins floored at
+    ``ENERGY_P90_SEC``; logs a warning when widening fires.  Whisper/MFA
+    rows are returned unchanged.
+    """
+    if not any(r.get("Source") == "energy" for r in rows):
+        return left, right, False
+    wl, wr = max(left, ENERGY_P90_SEC), max(right, ENERGY_P90_SEC)
+    if (wl, wr) != (left, right):
+        import logging
+        logging.getLogger("voicecraft_tpu.align").warning(
+            "energy-aligner timestamps: widening edit margins %.3f/%.3f -> "
+            "%.3f/%.3f s (characterized p90 boundary error %.0f ms; pass "
+            "an ASR model or MFA CSV for tighter spans)",
+            left, right, wl, wr, ENERGY_P90_SEC * 1000)
+        return wl, wr, True
+    return left, right, False
 
 
 # ==============================================================================
