@@ -675,6 +675,7 @@ class ContinuousBatcher:
                 for f, v in self._lanes._asdict().items()})
         self._queue: List[Tuple[int, np.ndarray, np.ndarray]] = []
         self._lane_req: List[Optional[int]] = [None] * self.lanes
+        self._retired: set = set()
         self._req_y: Dict[int, np.ndarray] = {}
         self._results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self._stream_cbs: Dict[int, Callable] = {}
@@ -751,13 +752,19 @@ class ContinuousBatcher:
         for b, rid, _, _ in pending:
             self._lane_req[b] = rid
 
-    def _retire(self):
-        status = np.asarray(self._status)        # [B, 4]: single transfer
+    def _retire(self, status: np.ndarray, gen_src, lane_map) -> None:
+        """Retire finished lanes using ONE consistent burst snapshot:
+        ``status`` [B, 4], ``gen_src`` (the device gen_buf the status
+        describes), and ``lane_map`` (lane -> rid AT THAT BURST).  With the
+        streaming pipeline the snapshot is one burst behind the device, so
+        a rid may already be retired (skip via _retired) and a lane may
+        already hold a NEWER request (only free it if it still holds the
+        snapshot's rid)."""
         active, t, finish_t, eog_all = status.T
         K = self.cfg.n_codebooks
         for b in range(self.lanes):
-            rid = self._lane_req[b]
-            if rid is None or not active[b]:
+            rid = lane_map[b]
+            if rid is None or rid in self._retired or not active[b]:
                 continue
             done = eog_all[b] or t[b] >= self.gen_max - 1
             if not done:
@@ -768,7 +775,7 @@ class ContinuousBatcher:
             # spec mode) — the eog path is unaffected (finish_t >= 0).
             n = int(finish_t[b]) + 1 if finish_t[b] >= 0 else int(t[b])
             # fetch only the finished lane's rows (rare; bounded transfer)
-            rows = np.asarray(self._gen_buf[b])[:n]
+            rows = np.asarray(gen_src[b])[:n]
             if rows.shape[0] <= K:
                 gen = np.zeros((K, 0), np.int32)
             else:
@@ -781,19 +788,21 @@ class ContinuousBatcher:
                 gen = gen - self.cfg.n_special
             full = np.concatenate([y, gen], axis=1)
             self._results[rid] = (full, gen)
-            self._lane_req[b] = None
+            self._retired.add(rid)
             self._stream_cbs.pop(rid, None)
             self._stream_sent.pop(rid, None)
-            self._lanes = self._lanes._replace(
-                active=self._lanes.active.at[b].set(False))
+            if self._lane_req[b] == rid:
+                self._lane_req[b] = None
+                self._lanes = self._lanes._replace(
+                    active=self._lanes.active.at[b].set(False))
 
-    def _emit_stream(self):
+    def _emit_stream(self, status: np.ndarray, gen_src, lane_map) -> None:
         """Invoke streaming callbacks with each live streaming lane's
-        delayed rows so far (monotone, prefix-stable)."""
-        status = np.asarray(self._status)
+        delayed rows so far (monotone, prefix-stable).  Snapshot semantics
+        as in :meth:`_retire`."""
         t, finish_t = status[:, 1], status[:, 2]
         for b in range(self.lanes):
-            rid = self._lane_req[b]
+            rid = lane_map[b]
             if rid is None or rid not in self._stream_cbs:
                 continue
             # cap at the retirement row count so streamed rows are always a
@@ -803,34 +812,67 @@ class ContinuousBatcher:
                                                       int(finish_t[b]) + 1)
             if n <= self._stream_sent[rid]:
                 continue
-            rows = np.asarray(self._gen_buf[b])[:n]          # [n, K]
+            rows = np.asarray(gen_src[b])[:n]          # [n, K]
             self._stream_sent[rid] = n
             self._stream_cbs[rid](rows)
 
+    def _process_burst(self, pending) -> None:
+        """Host-side consumption of one finished burst's snapshot — the
+        status readback here is what blocks on the device."""
+        status_dev, gen_src, lane_map = pending
+        status = np.asarray(status_dev)        # [B, 4]: single transfer
+        self._emit_stream(status, gen_src, lane_map)
+        self._retire(status, gen_src, lane_map)
+
     def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-        """Drain the queue; returns {request_id: (full_codes, gen_codes)}."""
-        # After _admit() either the queue is empty or every lane is busy, and
-        # a lane only frees when one finishes — which is exactly the drain
-        # loop's exit condition.  So the device can always drain until a
-        # retirement: syncing back after every burst (the old
-        # queue-non-empty policy) bought no earlier admissions, only ~1 host
-        # round-trip per burst over the TPU tunnel.  Streaming requests
-        # need per-burst syncs, so the drain cap drops to 1 while any are
-        # live (latency over throughput, the point of streaming).
+        """Drain the queue; returns {request_id: (full_codes, gen_codes)}.
+
+        After _admit() either the queue is empty or every lane is busy, and
+        a lane only frees when one finishes — which is exactly the drain
+        loop's exit condition.  So the device can always drain until a
+        retirement: syncing back after every burst (the old
+        queue-non-empty policy) bought no earlier admissions, only ~1 host
+        round-trip per burst over the TPU tunnel.
+
+        Streaming requests need per-burst readbacks, but NOT synchronous
+        ones: the loop runs one burst AHEAD of the host (VERDICT r03 #4) —
+        burst N+1 is dispatched (async) before burst N's status/rows are
+        read back, so callback + readback time hides behind device compute
+        instead of stalling it.  Costs: one burst of retirement staleness
+        (a finished lane decodes ~one extra burst of ignored rows; its
+        replacement admits one iteration later) and a device-side copy of
+        gen_buf per burst (donation would otherwise invalidate burst N's
+        rows when N+1 consumes them).  Streamed output is unchanged — rows
+        pass through the same monotone prefix-stable snapshots."""
         full_cap = -(-self.gen_max // self.burst) + 1
+        pending = None          # in-flight burst's (status, gen_copy, map)
         while self._queue or any(r is not None for r in self._lane_req):
             self._admit()
             streaming = (any(rid in self._stream_cbs
                              for rid in self._lane_req if rid is not None)
                          or any(rid in self._stream_cbs
                                 for rid, _, _ in self._queue))
-            self._cache, self._lanes, self._gen_buf, self._status = \
+            self._cache, self._lanes, self._gen_buf, status = \
                 self._burst_fn(self.params, self._cache, self._lanes,
                                self._gen_buf,
                                jnp.asarray(1 if streaming else full_cap,
                                            jnp.int32))
+            self._status = status
             if streaming:
-                self._emit_stream()
-            self._retire()
+                # snapshot rows NOW (async device copy): the next burst
+                # dispatch donates self._gen_buf
+                gen_copy = jnp.copy(self._gen_buf)
+                new_pending = (status, gen_copy, list(self._lane_req))
+                if pending is not None:
+                    self._process_burst(pending)   # overlaps next burst
+                pending = new_pending
+            else:
+                if pending is not None:
+                    self._process_burst(pending)
+                    pending = None
+                self._process_burst((status, self._gen_buf,
+                                     list(self._lane_req)))
+        if pending is not None:
+            self._process_burst(pending)
         out, self._results = self._results, {}
         return out
