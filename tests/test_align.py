@@ -2,6 +2,7 @@
 word boundaries, plus integration with the editing span machinery."""
 
 import numpy as np
+import pytest
 
 from voicecraft_tpu.align import (align_words, energy_align, voiced_segments)
 from voicecraft_tpu.inference.editing import get_mask_interval, get_span
@@ -90,6 +91,7 @@ def test_alignment_rows_feed_get_mask_interval():
     assert 0.0 < s < e < len(wav) / SR
 
 
+@pytest.mark.slow
 def test_align_words_fallback_without_asr():
     wav, _ = _three_burst_wav()
     rows = align_words(wav, SR, "a b c", asr_model_path="/nonexistent/path")
