@@ -26,6 +26,10 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None,
+                    help="force a jax backend (e.g. 'cpu' for smoke runs — "
+                         "the axon plugin ignores JAX_PLATFORMS, so this "
+                         "sets jax.config before any device query)")
     ap.add_argument("--preset", default="giga830M")
     ap.add_argument("--frames", type=int, default=500,
                     help="codec frames to generate (50 = 1 s of audio)")
@@ -97,6 +101,19 @@ def main():
                          "at 4 and WORSE at 8 — see PERF.md negative "
                          "results; the while_loop has no per-iteration "
                          "host cost to amortise)")
+    ap.add_argument("--train-profile", action="store_true",
+                    help="training cost-attribution ladder (VERDICT r03 "
+                         "#5): times forward-only, grads (bwd+remat "
+                         "recompute), and the ScaledAdam update as "
+                         "separate executables at the production geometry, "
+                         "plus a standalone GEMM roofline probe at the "
+                         "step's dominant shapes; prints per-piece "
+                         "attribution of the non-MXU time")
+    ap.add_argument("--profile-dir", default=None,
+                    help="with --train-profile: also capture a "
+                         "jax.profiler trace of a few steps into this dir "
+                         "(best-effort; the tunnel backend may not "
+                         "support it)")
     ap.add_argument("--steady", action="store_true",
                     help="with --engine: steady-state variant — 8x LANES "
                          "uniform-length requests so ramp-up/down is "
@@ -107,9 +124,16 @@ def main():
                          "(inference/streaming.py over the engine, burst "
                          "from --burst) and steady-state chunk cadence")
     args = ap.parse_args()
+    if args.platform:
+        from voicecraft_tpu.utils.jax_setup import setup as _jax_setup
+        _jax_setup(args.platform)
     args.fp8 = not args.bf16
     if args.spec_accept:
         args.spec_sampling = "exact"   # ceilings use exact verification
+
+    if args.train_profile:
+        _bench_train_profile(args)
+        return
 
     if args.train:
         _bench_train(args)
@@ -410,6 +434,153 @@ def _bench_train(args):
         "unit": "codec_tokens/s/chip",
         "vs_baseline": 1.0,
     }))
+
+
+def _bench_train_profile(args):
+    """Training cost-attribution ladder (VERDICT r03 #5).
+
+    The 830M two-phase step already runs gradients and the ScaledAdam
+    update as separate executables, so their wall times are separable with
+    host readbacks (np.asarray — block_until_ready can return early on
+    this backend).  The ladder:
+
+      fwd        forward_train WITHOUT remat wrappers, no grad
+      grads      value_and_grad with the production remat policy
+      update     ScaledAdam + apply_updates (donated, as in training)
+      gemm       standalone bf16 GEMMs at the step's dominant shapes
+
+    Attribution printed from these: ideal backward = 2x fwd, so
+    ``grads - 3*fwd`` is remat recompute + scheduling; ``update`` is the
+    optimizer's state round-trip; the GEMM probe gives the achievable
+    matmul rate at these shapes — the difference between the step's MFU
+    and the probe's is structural (non-matmul ops, memory stalls), not
+    matmul efficiency.
+    """
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from voicecraft_tpu.config import PRESETS
+    from voicecraft_tpu.models.voicecraft import (forward_train, init_params,
+                                                  param_count)
+    from voicecraft_tpu.training.optim import scaled_adam, eden_schedule
+    from __graft_entry__ import _synthetic_batch
+    import optax
+
+    cfg = PRESETS[args.preset]()
+    if args.train_attn:
+        cfg = dataclasses.replace(cfg, train_attn=args.train_attn)
+    if args.train_remat:
+        cfg = dataclasses.replace(cfg, train_remat=args.train_remat)
+    if jax.default_backend() == "cpu" and cfg.compute_dtype == "bfloat16":
+        cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    n_params = param_count(params)
+    big = n_params > 4e8
+    B = args.train_batch or (8 if big else 16)
+    Sx, Sy = 160, 480
+    batch = _synthetic_batch(cfg, B=B, Sx=Sx, y_len=Sy, seed=1)
+    tx = scaled_adam(lr=eden_schedule(0.05, 3000, 4, 500))
+    opt_state = jax.jit(tx.init)(params)
+
+    def timed(fn, *a, readback=lambda r: r, n=None):
+        n = n or args.iters
+        out = fn(*a)                      # compile + warm
+        _ = np.asarray(readback(out))
+        t0 = time.perf_counter()
+        for _i in range(n):
+            out = fn(*a)
+            _ = np.asarray(readback(out))
+        return (time.perf_counter() - t0) / n, out
+
+    # ---- fwd only (no remat wrappers, no grad) ----
+    fwd_fn = jax.jit(lambda p, b, r: forward_train(p, cfg, b, rng=r,
+                                                   remat=False)["loss"])
+    t_fwd, _ = timed(fwd_fn, params, batch, jax.random.PRNGKey(1))
+
+    # ---- grads with the production remat policy ----
+    def loss_fn(p, b, r):
+        out = forward_train(p, cfg, b, rng=r, remat=True)
+        return out["loss"], out
+
+    def grads_fn(p, b, r):
+        (_, out), g = jax.value_and_grad(
+            lambda q: loss_fn(q, b, r), has_aux=True)(p)
+        return g, out["loss"], out["effective_ntoken"]
+
+    grads_jit = jax.jit(grads_fn)
+    t_grads, (grads, loss, ntok) = timed(
+        grads_jit, params, batch, jax.random.PRNGKey(1),
+        readback=lambda o: o[1])
+    ntok = float(np.asarray(ntok))
+
+    # ---- optimizer update (NOT donated so it can repeat on the same
+    # inputs; donation only removes copies, it doesn't change compute) ----
+    def update_fn(p, o, g, l):
+        updates, new_o = tx.update(g, o, p)
+        new_p = optax.apply_updates(p, updates)
+        return new_p, new_o
+
+    update_jit = jax.jit(update_fn)
+    t_upd, _ = timed(update_jit, params, opt_state, grads, loss,
+                     readback=lambda r: r[0]["alpha_audio"])
+
+    # ---- optional jax.profiler trace of real steps ----
+    if args.profile_dir:
+        try:
+            with jax.profiler.trace(args.profile_dir):
+                for i in range(3):
+                    g, l, _ = grads_jit(params, batch, jax.random.PRNGKey(i))
+                    p2, o2 = update_jit(params, opt_state, g, l)
+                _ = np.asarray(p2["alpha_audio"])
+            print(f"profiler trace written to {args.profile_dir}",
+                  file=sys.stderr)
+        except Exception as e:  # the tunnel backend may not support it
+            print(f"profiler trace failed: {e!r}", file=sys.stderr)
+
+    # ---- standalone GEMM probe at the step's dominant shapes ----
+    D, F = cfg.d_model, cfg.d_model * 4
+    M = B * (Sx + Sy)                     # tokens in the step
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    key = jax.random.PRNGKey(0)
+    a1 = jax.random.normal(key, (M, D), dt)
+    w1 = jax.random.normal(key, (D, F), dt)
+    w2 = jax.random.normal(key, (F, D), dt)
+    wq = jax.random.normal(key, (D, D), dt)
+
+    @jax.jit
+    def gemm_probe(a1, w1, w2, wq):
+        h = a1 @ w1                       # FFN up
+        y = h @ w2                        # FFN down
+        q = a1 @ wq                       # attn projection shape
+        return (y * q).sum()
+
+    probe_flops = 2 * M * (D * F * 2 + D * D)
+    t_gemm, _ = timed(gemm_probe, a1, w1, w2, wq, n=max(args.iters, 10))
+    gemm_tflops = probe_flops / t_gemm / 1e12
+
+    # ---- attribution ----
+    t_step = t_grads + t_upd
+    step_flops = 6.0 * n_params * ntok
+    toks_per_s = ntok / t_step
+    ideal_bwd = 2.0 * t_fwd
+    remat_sched = t_grads - 3.0 * t_fwd
+    result = {
+        "metric": f"train_profile_{args.preset}"
+                  + (f"_{args.train_remat}" if args.train_remat else ""),
+        "B": B, "tokens_per_step": ntok,
+        "tokens_per_sec": round(toks_per_s, 0),
+        "t_fwd_s": round(t_fwd, 4),
+        "t_grads_s": round(t_grads, 4),
+        "t_update_s": round(t_upd, 4),
+        "t_step_s": round(t_step, 4),
+        "achieved_tflops": round(step_flops / t_step / 1e12, 1),
+        "gemm_probe_tflops": round(gemm_tflops, 1),
+        "frac_fwd": round(t_fwd / t_step, 3),
+        "frac_ideal_bwd": round(ideal_bwd / t_step, 3),
+        "frac_remat_sched": round(remat_sched / t_step, 3),
+        "frac_update": round(t_upd / t_step, 3),
+    }
+    print(json.dumps(result))
 
 
 def _bench_serving(args, cfg, params, rng, extra=None):
