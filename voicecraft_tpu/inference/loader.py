@@ -37,6 +37,20 @@ def load_model(path_or_preset: str, random_init: bool = False,
         from ..utils.convert import load_reference_bundle
         cfg, params, phn2num = load_reference_bundle(path_or_preset)
         return _cpu_dtype_fix(cfg), params, phn2num
+    if "/" in path_or_preset and not os.path.exists(path_or_preset):
+        # HF-hub repo id (reference PyTorchModelHubMixin.from_pretrained,
+        # voicecraft.py:90-104): fetch the snapshot when huggingface_hub is
+        # installed and the network is reachable, then load it as a local
+        # snapshot dir below.  Zero-egress environments get a clear error
+        # instead of a silent hang.
+        try:
+            from huggingface_hub import snapshot_download
+        except ImportError as e:
+            raise FileNotFoundError(
+                f"{path_or_preset!r} is not a local path; to load it as a "
+                "HF-hub repo id, `pip install huggingface_hub` (or download "
+                "the snapshot elsewhere and pass its directory)") from e
+        path_or_preset = snapshot_download(repo_id=path_or_preset)
     if os.path.isdir(path_or_preset) and os.path.exists(
             os.path.join(path_or_preset, "config.json")):
         # HF-hub snapshot (reference PyTorchModelHubMixin serialisation,
