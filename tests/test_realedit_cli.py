@@ -12,8 +12,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("lanes", [1, 2])
-def test_realedit_cli_end_to_end(tmp_path, lanes):
+@pytest.mark.parametrize("lanes,spec", [(1, 0), (2, 0), (2, 2)],
+                         ids=["single", "lanes", "lanes-spec"])
+def test_realedit_cli_end_to_end(tmp_path, lanes, spec):
     sr = 16000
     wav_dir = tmp_path / "wavs"
     align_dir = tmp_path / "align"
@@ -48,11 +49,12 @@ def test_realedit_cli_end_to_end(tmp_path, lanes):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "realedit_cli.py"),
          "--manifest", str(man), "--audio-dir", str(wav_dir),
-         "--align-dir", str(align_dir), "--model", "tiny_test",
+         "--align-dir", str(align_dir),
+         "--model", "tiny_test_mtp" if spec else "tiny_test",
          "--random-init", "--platform", "cpu", "--text-backend", "grapheme",
          "--out-dir", str(out_dir), "--top-k", "15",
          "--silence-tokens", "5", "7", "--num-seeds", "2",
-         "--lanes", str(lanes)],
+         "--lanes", str(lanes), "--spec", str(spec)],
         capture_output=True, timeout=600, cwd=REPO)
     assert r.returncode == 0, r.stderr.decode()[-3000:]
     assert b"done: 2/2 edited" in r.stderr or b"done: 2/2 edited" in r.stdout, \
