@@ -153,6 +153,13 @@ def main():
                     metavar=("FRAC_START", "FRAC_END"),
                     help="masked interval as fractions of the utterance")
     ap.add_argument("--skip-engine", action="store_true")
+    ap.add_argument("--engine-requests", type=int, default=2,
+                    help="engine request multiplier: submit N*lanes "
+                         "held-out requests (cycled).  2 = the historical "
+                         "short-stream number (ramp-down included); 8+ "
+                         "approximates steady state and isolates the "
+                         "ramp-down share of the tau=8 engine regression "
+                         "(VERDICT r03 #2)")
     ap.add_argument("--skip-single", action="store_true",
                     help="measure only serving/engine (skips the "
                          "single-stream loops and their compiles — useful "
@@ -327,7 +334,9 @@ def main():
         # ---- speculative continuous-batching engine ----
         if not args.skip_engine:
             from voicecraft_tpu.inference.engine import ContinuousBatcher
-            ereqs = [(it["x"], it["prompt"]) for it in items[:2 * B]]
+            n_req = args.engine_requests * B
+            pool = [(it["x"], it["prompt"]) for it in items]
+            ereqs = [pool[i % len(pool)] for i in range(n_req)]
 
             def make_engine():
                 return ContinuousBatcher(
