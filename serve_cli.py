@@ -33,7 +33,9 @@ Endpoints:
                      either ("orig_transcript" + "edit_type"
                              [+ "alignment" rows])
                      or     ("edit_start_sec" + "edit_end_sec"
-                             [+ "smart_transcript" + "orig_transcript"])}
+                             [+ "smart_transcript" + "orig_transcript"])
+                     or     ("edit_spans": [[s0,e0],[s1,e1],...] seconds —
+                             multi-span editing in one decode)}
                     -> {"wav_b64", "latency_sec"}
 """
 
@@ -397,7 +399,7 @@ class Engine:
                         if kind == "edit":
                             if len(group) > 1:
                                 ereqs = [(s["x"], s["codes"],
-                                          [s["interval"]]) for s in group]
+                                          s["intervals"]) for s in group]
                                 seeds = [s["seed"] for s in group]
                                 if self.mesh is not None:
                                     nd = self.mesh.shape["data"]
@@ -424,7 +426,7 @@ class Engine:
                                 for s in group:
                                     s["result"] = inference_edit(
                                         self.params, self.cfg, s["x"],
-                                        s["codes"], [s["interval"]], scfg,
+                                        s["codes"], s["intervals"], scfg,
                                         seed=s["seed"], spec=self.spec)
                             continue
                         if len(group) > 1 and sbs == 1:
@@ -497,6 +499,29 @@ class Engine:
         target_text = normalize_transcript(req["target_transcript"])
         orig_text = normalize_transcript(req.get("orig_transcript", ""))
 
+        if "edit_spans" in req:
+            # explicit multi-span editing (serve_edit_batch / inference_edit
+            # decode all spans in one pass, reference voicecraft.py:561-906)
+            spans_sec = [(float(s), float(e)) for s, e in req["edit_spans"]]
+            left_m = float(req.get("left_margin", req.get("margin", 0.08)))
+            right_m = float(req.get("right_margin",
+                                    req.get("margin", 0.08)))
+            intervals = sorted(morph_edit_span(
+                s, e, left_margin=left_m, right_margin=right_m,
+                audio_dur=audio_dur, codec_sr=cfg.encodec_sr)
+                for s, e in spans_sec)
+            x = self._phonemize(target_text)
+            slot = {"kind": "edit", "x": x, "codes": codes,
+                    "intervals": intervals, "scfg": self._scfg(req),
+                    "seed": int(req.get("seed", self.args.seed)),
+                    "result": None, "done": threading.Event()}
+            self._decode_sentences([slot])
+            out = ec.decode_bucketed(self.cparams, slot["result"][None],
+                                     ccfg)[0]
+            return {"wav_b64": self._wav_to_b64(out),
+                    "edit_interval_frames": [list(iv) for iv in intervals],
+                    "latency_sec": time.time() - t0}
+
         if "edit_start_sec" in req and "edit_end_sec" in req:
             start_sec = float(req["edit_start_sec"])
             end_sec = float(req["edit_end_sec"])
@@ -537,7 +562,8 @@ class Engine:
         x = self._phonemize(target_text)
         # ride the micro-batcher: concurrent edit requests sharing a
         # SamplingConfig decode as one serve_edit_batch wave
-        slot = {"kind": "edit", "x": x, "codes": codes, "interval": interval,
+        slot = {"kind": "edit", "x": x, "codes": codes,
+                "intervals": [interval],
                 "scfg": self._scfg(req),
                 "seed": int(req.get("seed", self.args.seed)),
                 "result": None, "done": threading.Event()}

@@ -148,6 +148,19 @@ def test_edit_without_alignment(server):
     assert 0 < s < e <= 101  # inside the 2 s clip, 50 Hz frames
 
 
+def test_edit_multi_span(server):
+    """Explicit multi-span editing over HTTP: both spans decode in one pass
+    (edit_spans -> serve_edit_batch/inference_edit multi-span path)."""
+    b64 = _prompt_b64()
+    r = _post(server, "/edit", {
+        "wav_b64": b64, "target_transcript": "a very different test phrase",
+        "edit_spans": [[0.3, 0.6], [1.2, 1.5]],
+        "top_k": 15, "silence_tokens": [5, 7]})
+    assert "wav_b64" in r and len(r["wav_b64"]) > 1000
+    ivs = r["edit_interval_frames"]
+    assert len(ivs) == 2 and ivs[0][1] <= ivs[1][0]
+
+
 def test_tts_smart_transcript(server):
     b64 = _prompt_b64()
     r = _post(server, "/tts", {
