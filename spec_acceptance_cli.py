@@ -165,6 +165,10 @@ def main():
                          "single-stream loops and their compiles — useful "
                          "for lane sweeps where single-stream numbers are "
                          "already on record)")
+    ap.add_argument("--kv-fp8", action="store_true",
+                    help="fp8 KV slab for the serving/engine measurements "
+                         "(time-neutral, capacity win — PERF.md; needed "
+                         "for 32-lane 830M spec slabs on 16 GB)")
     ap.add_argument("--fp8", action="store_true",
                     help="weight-only fp8 decoder matmuls (the serving "
                          "config; utils/quantize.py) — wall-clock numbers "
@@ -184,6 +188,7 @@ def main():
 
     cfg, params, phn2num = load_model(args.model)
     assert phn2num is not None, "checkpoint carries no phn2num vocab"
+    kv_dtype = "float8_e4m3fn" if args.kv_fp8 else None
     n_mtp = (jax.tree.leaves(params["mtp_heads"])[0].shape[0]
              if "mtp_heads" in params else 0)
     assert n_mtp > 0, "checkpoint has no MTP heads (train_cli --n-mtp)"
@@ -265,7 +270,7 @@ def main():
         composition, padding, or gen_buf readback on either side)."""
         if "plain_frames_per_sec" not in results["serving"]:
             loop = _get_serving_loop(cfg, B, x_pad, y_pad, gen_max, scfg,
-                                     None)
+                                     kv_dtype)
             loop(params, *serve_args)             # compile
             t0 = time.perf_counter()
             _, finish_t = loop(params, *serve_args)
@@ -312,7 +317,7 @@ def main():
         # ---- lockstep spec serving ----
         plain_fps = plain_serving_baseline()
         loop = _get_spec_serving_loop(cfg, B, tau, x_pad, y_pad, gen_max,
-                                      scfg, None)
+                                      scfg, kv_dtype)
         a = (params,) + serve_args
         out = loop(*a)                        # compile
         t0 = time.perf_counter()
@@ -342,7 +347,7 @@ def main():
                 return ContinuousBatcher(
                     params, cfg, lanes=B, x_pad=x_pad, y_pad=y_pad,
                     gen_max=gen_max, burst=4 * tau, scfg=scfg, seed=1,
-                    spec=tau)
+                    spec=tau, kv_dtype=kv_dtype)
 
             # warm pass: the engine's jit fns are lru-cached on geometry,
             # so one throwaway run keeps (large-model) compile time out of
