@@ -559,8 +559,14 @@ def _bench_train_profile(args):
     gemm_tflops = probe_flops / t_gemm / 1e12
 
     # ---- attribution ----
+    # FLOPs convention stated explicitly: the transformer runs B*(Sx+Sy)
+    # SEQUENCE POSITIONS per step (each position embeds all K codebooks),
+    # and fwd+bwd costs ~6*N FLOPs per position (2N fwd + 4N bwd,
+    # multiply-add = 2).  'ntok' (effective_ntoken) counts K codebook
+    # streams and is the tokens/s THROUGHPUT unit, not the FLOPs unit.
     t_step = t_grads + t_upd
-    step_flops = 6.0 * n_params * ntok
+    positions = B * (Sx + Sy)
+    step_flops = 6.0 * n_params * positions
     toks_per_s = ntok / t_step
     ideal_bwd = 2.0 * t_fwd
     remat_sched = t_grads - 3.0 * t_fwd
