@@ -34,7 +34,7 @@ mkdir -p "$WORK"
 test -f "$WORK/corpus/train/train00000.wav" || \
   python recipes/make_spec_corpus.py "$WORK/corpus" --train "$N_TRAIN" --eval "$N_EVAL"
 
-test -d "$WORK/data/train" || \
+test -d "$WORK/data/manifest" || \
   python preprocess_cli.py --audio-dir "$WORK/corpus/train" \
     --out-dir "$WORK/data" --random-init --codec-bins "$BINS" \
     --text-backend grapheme $PLATFORM_FLAG
