@@ -246,7 +246,10 @@ def main():
     from voicecraft_tpu.data import spans as _spans
     import jax.numpy as jnp
     B = args.lanes
-    reqs = [(it["x"], it["prompt"]) for it in items[:B]]
+    # cycle when the eval dir holds fewer items than lanes: every lane must
+    # be populated — x_lens/p_lens/xt/yt all carry B rows into the jitted loop
+    reqs = [(items[i % len(items)]["x"], items[i % len(items)]["prompt"])
+            for i in range(B)]
     shift = cfg.n_special if cfg.special_first else 0
     prefixes = [_spans.compose_tts_prefix(y + shift, cfg) for _, y in reqs]
     x_lens = np.asarray([len(x) for x, _ in reqs], np.int32)
