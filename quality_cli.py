@@ -19,6 +19,12 @@ Modes:
   fp8         weight-only fp8 decoder, greedy
   sampled     plain loop at --temperature (the stochastic baseline)
   stochastic  speculative stochastic sampling at --temperature
+  edit        greedy speech editing: mask --edit-span of each utterance,
+              regenerate, score the full utterance AND the regenerated
+              span against ground truth (reference voicecraft.py:561-906
+              — the reference's signature capability, scored numerically)
+  edit_spec   greedy speculative editing + bit-exact check vs edit
+  edit_stoch  stochastic speculative editing at --temperature
 
 Usage:
   python quality_cli.py --model EXP/ckpt_latest --eval-dir CORPUS/eval \\
@@ -35,7 +41,8 @@ import time
 import numpy as np
 
 ALL_MODES = ("resynth", "plain", "spec", "stream", "fp8", "sampled",
-             "stochastic")
+             "stochastic", "edit", "edit_spec", "edit_stoch")
+EDIT_MODES = ("edit", "edit_spec", "edit_stoch")
 
 
 def main():
@@ -48,6 +55,9 @@ def main():
     ap.add_argument("--prompt-sec", type=float, default=2.0)
     ap.add_argument("--modes", nargs="*", default=list(ALL_MODES),
                     choices=list(ALL_MODES))
+    ap.add_argument("--edit-span", type=float, nargs=2, default=[0.4, 0.7],
+                    help="fractional (start, end) of each utterance to "
+                         "mask and regenerate for the edit modes")
     ap.add_argument("--tau", type=int, default=None,
                     help="draft count for spec/stochastic (default: the "
                          "checkpoint's full MTP depth)")
@@ -88,11 +98,13 @@ def main():
              if "mtp_heads" in params else 0)
     tau = args.tau or (n_mtp + 1 if n_mtp else 0)
     modes = list(args.modes)
-    for m in ("spec", "stochastic"):
+    for m in ("spec", "stochastic", "edit_spec", "edit_stoch"):
         if m in modes and (n_mtp == 0 or tau < 2):
             logging.warning("dropping mode %s: checkpoint has no MTP heads",
                             m)
             modes.remove(m)
+    tts_modes = [m for m in modes if m not in EDIT_MODES]
+    edit_modes = [m for m in modes if m in EDIT_MODES]
 
     if args.codec is None and args.codec_bins:
         from voicecraft_tpu.models.encodec import EncodecConfig, init_encodec
@@ -129,6 +141,8 @@ def main():
             "gt_cont_codes": codes[:, p_frames:].astype(np.int32),
             "gt_cont_wav": np.asarray(wav).reshape(-1)[
                 int(args.prompt_sec * ccfg.sample_rate):],
+            "codes": codes.astype(np.int32),
+            "gt_wav": np.asarray(wav).reshape(-1),
             "id": os.path.basename(wav_path)})
     ref_kind = args.ref
     if ref_kind == "auto":
@@ -187,7 +201,7 @@ def main():
     results = {"n": len(items), "tau": tau, "ref": ref_kind,
                "temperature": args.temperature, "modes": {}}
     plain_codes = {}
-    for mode in modes:
+    for mode in tts_modes:
         lmds, mcds, durs = [], [], []
         bit_exact = [] if mode in ("spec", "stream") else None
         t0 = time.perf_counter()
@@ -223,6 +237,81 @@ def main():
                      entry["duration_ratio_mean"],
                      f"bit_exact={entry.get('bit_exact_vs_plain')}"
                      if "bit_exact_vs_plain" in entry else "")
+
+    # ---- edit modes: mask --edit-span of each utterance, regenerate, and
+    # score BOTH the whole utterance and the regenerated span against the
+    # ground truth (transcript unchanged, so the original utterance IS the
+    # target).  Unedited frames are preserved verbatim by construction
+    # (inference_edit splices them), so the span-restricted score is where
+    # the model's editing quality actually lives. ----
+    if edit_modes:
+        from voicecraft_tpu.inference.editing import inference_edit
+        f0, f1 = args.edit_span
+        spf = int(round(ccfg.sample_rate / ccfg.frame_rate))  # samples/frame
+        eitems = []
+        for it in items:
+            T = it["codes"].shape[1]
+            s, e = max(1, int(T * f0)), min(T - 1, int(T * f1))
+            if e - s < 4:
+                continue
+            ref_full = (decode_audio(it["codes"]) if ref_kind == "resynth"
+                        else it["gt_wav"])
+            eitems.append({**it, "span": (s, e), "ref_full": ref_full})
+        results["edit_span"] = list(args.edit_span)
+
+        edit_codes = {}
+        for mode in edit_modes:
+            scfg_m = stoch if mode == "edit_stoch" else greedy
+            tau_m = 0 if mode == "edit" else tau
+            lmds, mcds, slmds, smcds, sdurs = [], [], [], [], []
+            bit_exact = [] if mode == "edit_spec" else None
+            t0 = time.perf_counter()
+            for it in eitems:
+                s, e = it["span"]
+                T = it["codes"].shape[1]
+                res = inference_edit(params, cfg, it["x"], it["codes"],
+                                     [(s, e)], scfg_m, seed=args.seed,
+                                     spec=tau_m)
+                audio = decode_audio(res)
+                ref = it["ref_full"]
+                lmds.append(log_mel_distance(ref, audio, ccfg.sample_rate))
+                mcds.append(mcd(ref, audio, ccfg.sample_rate))
+                # span-restricted: slice both audios at their own span
+                # boundaries (frame -> sample); codec context preserved
+                gen_len = res.shape[1] - s - (T - e)
+                hyp_span = audio[s * spf:(s + gen_len) * spf]
+                ref_span = ref[s * spf:e * spf]
+                if len(hyp_span) > spf and len(ref_span) > spf:
+                    slmds.append(log_mel_distance(ref_span, hyp_span,
+                                                  ccfg.sample_rate))
+                    smcds.append(mcd(ref_span, hyp_span, ccfg.sample_rate))
+                sdurs.append(gen_len / max(e - s, 1))
+                if mode == "edit":
+                    edit_codes[it["id"]] = np.asarray(res)
+                if bit_exact is not None and it["id"] in edit_codes:
+                    p = edit_codes[it["id"]]
+                    g = np.asarray(res)
+                    bit_exact.append(bool(p.shape == g.shape
+                                          and (p == g).all()))
+            entry = {
+                "log_mel_dist_mean": float(np.mean(lmds)),
+                "mcd_mean": float(np.mean(mcds)),
+                "span_log_mel_dist_mean": float(np.mean(slmds)),
+                "span_mcd_mean": float(np.mean(smcds)),
+                "span_duration_ratio_mean": float(np.mean(sdurs)),
+                "seconds": time.perf_counter() - t0,
+            }
+            if bit_exact is not None and bit_exact:
+                entry["bit_exact_vs_edit"] = all(bit_exact)
+            results["modes"][mode] = entry
+            logging.info("%-10s lmd %.3f mcd %.2f dB | span lmd %.3f mcd "
+                         "%.2f dB dur %.2f %s", mode,
+                         entry["log_mel_dist_mean"], entry["mcd_mean"],
+                         entry["span_log_mel_dist_mean"],
+                         entry["span_mcd_mean"],
+                         entry["span_duration_ratio_mean"],
+                         f"bit_exact={entry.get('bit_exact_vs_edit')}"
+                         if "bit_exact_vs_edit" in entry else "")
 
     print(json.dumps(results, indent=2))
 

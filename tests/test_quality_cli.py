@@ -42,14 +42,16 @@ def test_quality_cli_end_to_end(tmp_path):
              "--eval-dir", str(tmp_path / "corpus/eval"),
              "--codec-bins", "128", "--n", "1", "--platform", "cpu",
              "--modes", "resynth", "plain", "spec", "stream",
-             "stochastic"])
+             "stochastic", "edit", "edit_spec"])
     out = json.loads(r.stdout.decode())
     assert out["ref"] == "resynth" and out["n"] == 1
     modes = out["modes"]
     assert set(modes) == {"resynth", "plain", "spec", "stream",
-                          "stochastic"}
+                          "stochastic", "edit", "edit_spec"}
     assert modes["spec"]["bit_exact_vs_plain"] is True
     assert modes["stream"]["bit_exact_vs_plain"] is True
+    assert modes["edit_spec"]["bit_exact_vs_edit"] is True
+    assert modes["edit"]["span_duration_ratio_mean"] > 0
     # resynth scores vs RAW ground truth through a random codec: large;
     # generated-vs-resynth for a (near-)memorised model: small
     assert modes["resynth"]["mcd_mean"] > modes["plain"]["mcd_mean"]
