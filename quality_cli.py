@@ -245,19 +245,23 @@ def main():
     # (inference_edit splices them), so the span-restricted score is where
     # the model's editing quality actually lives. ----
     if edit_modes:
-        from voicecraft_tpu.inference.editing import inference_edit
+        from voicecraft_tpu.inference.editing import (fractional_edit_span,
+                                                      inference_edit)
         f0, f1 = args.edit_span
         spf = int(round(ccfg.sample_rate / ccfg.frame_rate))  # samples/frame
         eitems = []
         for it in items:
-            T = it["codes"].shape[1]
-            s, e = max(1, int(T * f0)), min(T - 1, int(T * f1))
-            if e - s < 4:
+            span = fractional_edit_span(it["codes"].shape[1], f0, f1)
+            if span is None:
                 continue
             ref_full = (decode_audio(it["codes"]) if ref_kind == "resynth"
                         else it["gt_wav"])
-            eitems.append({**it, "span": (s, e), "ref_full": ref_full})
+            eitems.append({**it, "span": span, "ref_full": ref_full})
         results["edit_span"] = list(args.edit_span)
+        if not eitems:
+            logging.warning("no eval utterance long enough for edit span "
+                            "(%s); skipping edit modes", args.edit_span)
+            edit_modes = []
 
         edit_codes = {}
         for mode in edit_modes:
@@ -288,28 +292,36 @@ def main():
                 sdurs.append(gen_len / max(e - s, 1))
                 if mode == "edit":
                     edit_codes[it["id"]] = np.asarray(res)
-                if bit_exact is not None and it["id"] in edit_codes:
+                if bit_exact is not None:
+                    # lazy baseline: a user may request edit_spec alone
+                    if it["id"] not in edit_codes:
+                        edit_codes[it["id"]] = np.asarray(inference_edit(
+                            params, cfg, it["x"], it["codes"], [(s, e)],
+                            scfg_m, seed=args.seed, spec=0))
                     p = edit_codes[it["id"]]
                     g = np.asarray(res)
                     bit_exact.append(bool(p.shape == g.shape
                                           and (p == g).all()))
+            mean = lambda v: float(np.mean(v)) if v else None
             entry = {
-                "log_mel_dist_mean": float(np.mean(lmds)),
-                "mcd_mean": float(np.mean(mcds)),
-                "span_log_mel_dist_mean": float(np.mean(slmds)),
-                "span_mcd_mean": float(np.mean(smcds)),
-                "span_duration_ratio_mean": float(np.mean(sdurs)),
+                "log_mel_dist_mean": mean(lmds),
+                "mcd_mean": mean(mcds),
+                "span_log_mel_dist_mean": mean(slmds),
+                "span_mcd_mean": mean(smcds),
+                "span_duration_ratio_mean": mean(sdurs),
                 "seconds": time.perf_counter() - t0,
             }
             if bit_exact is not None and bit_exact:
                 entry["bit_exact_vs_edit"] = all(bit_exact)
             results["modes"][mode] = entry
+            nan = float("nan")
             logging.info("%-10s lmd %.3f mcd %.2f dB | span lmd %.3f mcd "
                          "%.2f dB dur %.2f %s", mode,
-                         entry["log_mel_dist_mean"], entry["mcd_mean"],
-                         entry["span_log_mel_dist_mean"],
-                         entry["span_mcd_mean"],
-                         entry["span_duration_ratio_mean"],
+                         entry["log_mel_dist_mean"] or nan,
+                         entry["mcd_mean"] or nan,
+                         entry["span_log_mel_dist_mean"] or nan,
+                         entry["span_mcd_mean"] or nan,
+                         entry["span_duration_ratio_mean"] or nan,
                          f"bit_exact={entry.get('bit_exact_vs_edit')}"
                          if "bit_exact_vs_edit" in entry else "")
 

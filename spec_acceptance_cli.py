@@ -63,14 +63,16 @@ def run_edit_mode(args, cfg, params, items, scfg, results):
     import time
     from voicecraft_tpu.inference.serving import serve_edit_batch
 
+    from voicecraft_tpu.inference.editing import fractional_edit_span
+
     f0, f1 = args.edit_span
+    kv_dtype = "float8_e4m3fn" if args.kv_fp8 else None
     ereqs = []
     for it in items:
-        T = it["codes"].shape[1]
-        s, e = max(1, int(T * f0)), min(T - 1, int(T * f1))
-        if e - s < 4:
+        span = fractional_edit_span(it["codes"].shape[1], f0, f1)
+        if span is None:
             continue
-        ereqs.append((it["x"], it["codes"], [(s, e)]))
+        ereqs.append((it["x"], it["codes"], [span]))
     results["edit"] = {"span": [f0, f1], "n_items": len(ereqs)}
 
     # shared geometry across every config in this run
@@ -87,10 +89,11 @@ def run_edit_mode(args, cfg, params, items, scfg, results):
         reqs_b = ereqs[:B]
         stats: dict = {}
         serve_edit_batch(params, cfg, reqs_b, scfg, seed=1, pads=pads,
-                         spec=tau, stats=stats)           # warm/compile
+                         spec=tau, kv_dtype=kv_dtype,
+                         stats=stats)                     # warm/compile
         stats = {}
         serve_edit_batch(params, cfg, reqs_b, scfg, seed=1, pads=pads,
-                         spec=tau, stats=stats)
+                         spec=tau, kv_dtype=kv_dtype, stats=stats)
         return stats
 
     for B, name in ((1, "edit_single"), (args.lanes, "edit_serving")):

@@ -7,7 +7,7 @@ MFA-alignment-to-codec-frames conversion used by the editing CLI.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -57,6 +57,20 @@ def inference_edit(params, cfg: ModelConfig, x_tokens: np.ndarray,
 
 
 # ---- edit span computation (reference edit_utils.py:1-49) ---------------------
+
+def fractional_edit_span(n_frames: int, f0: float, f1: float,
+                         min_len: int = 4) -> Optional[Tuple[int, int]]:
+    """Frame interval covering the (f0, f1) fraction of an utterance, for
+    benchmark/quality harnesses that mask a middle span and regenerate it
+    (spec_acceptance_cli --edit, quality_cli edit modes share this policy).
+
+    Clamped to [1, n_frames-1]; returns None when the clamped span is
+    shorter than ``min_len`` frames (too short to measure anything).
+    """
+    s = max(1, int(n_frames * f0))
+    e = min(n_frames - 1, int(n_frames * f1))
+    return (s, e) if e - s >= min_len else None
+
 
 def get_span(orig: str, new: str, editType: str) -> Tuple[List[int], List[int]]:
     """Word-level diff between transcripts -> (orig_span, new_span) word-index
