@@ -289,6 +289,48 @@ def main():
                          frames / dt)
         return results["serving"]["plain_frames_per_sec"]
 
+    def engine_requests():
+        n_req = args.engine_requests * B
+        pool = [(it["x"], it["prompt"]) for it in items]
+        return [pool[i % len(pool)] for i in range(n_req)]
+
+    def run_engine(make_engine, ereqs):
+        """Warm pass (jit fns are lru-cached on geometry, so compile time
+        stays out of the wall-clock), then the timed run.  Returns
+        (frames, seconds, device_passes)."""
+        warm = make_engine()
+        for x, y in ereqs[:B]:
+            warm.submit(x, y)
+        warm.run()
+        eng = make_engine()
+        for x, y in ereqs:
+            eng.submit(x, y)
+        g0 = int(np.asarray(eng._lanes.gstep))
+        t0 = time.perf_counter()
+        res = eng.run()
+        dt = time.perf_counter() - t0
+        frames = sum(g.shape[1] for _, g in res.values())
+        return frames, dt, int(np.asarray(eng._lanes.gstep)) - g0
+
+    def plain_engine_baseline():
+        """Lazy plain continuous-batching baseline at the same eval set and
+        request count, so the engine tau rows have a like-for-like
+        speedup_vs_plain (VERDICT r03 #2: the tau=4->8 engine regression
+        needs a plain anchor, not just tau-vs-tau)."""
+        if "plain_frames_per_sec" not in results["engine"]:
+            from voicecraft_tpu.inference.engine import ContinuousBatcher
+
+            def make_engine():
+                return ContinuousBatcher(
+                    params, cfg, lanes=B, x_pad=x_pad, y_pad=y_pad,
+                    gen_max=gen_max, burst=24, scfg=scfg, seed=1,
+                    kv_dtype=kv_dtype)
+
+            frames, dt, _ = run_engine(make_engine, engine_requests())
+            results["engine"]["plain_frames_per_sec"] = frames / dt
+            logging.info("plain engine B=%d: %.0f frames/s", B, frames / dt)
+        return results["engine"]["plain_frames_per_sec"]
+
     for tau in args.taus:
         if tau - 1 > n_mtp:
             logging.info("skipping tau=%d (> n_mtp+1)", tau)
@@ -345,9 +387,7 @@ def main():
         # ---- speculative continuous-batching engine ----
         if not args.skip_engine:
             from voicecraft_tpu.inference.engine import ContinuousBatcher
-            n_req = args.engine_requests * B
-            pool = [(it["x"], it["prompt"]) for it in items]
-            ereqs = [pool[i % len(pool)] for i in range(n_req)]
+            plain_eng_fps = plain_engine_baseline()
 
             def make_engine():
                 return ContinuousBatcher(
@@ -355,29 +395,16 @@ def main():
                     gen_max=gen_max, burst=4 * tau, scfg=scfg, seed=1,
                     spec=tau, kv_dtype=kv_dtype)
 
-            # warm pass: the engine's jit fns are lru-cached on geometry,
-            # so one throwaway run keeps (large-model) compile time out of
-            # the measured wall-clock
-            warm = make_engine()
-            for x, y in ereqs[:B]:
-                warm.submit(x, y)
-            warm.run()
-            eng = make_engine()
-            for x, y in ereqs:
-                eng.submit(x, y)
-            g0 = int(np.asarray(eng._lanes.gstep))
-            t0 = time.perf_counter()
-            res = eng.run()
-            dt = time.perf_counter() - t0
-            frames = sum(g.shape[1] for _, g in res.values())
-            gsteps = int(np.asarray(eng._lanes.gstep)) - g0
+            frames, dt, gsteps = run_engine(make_engine, engine_requests())
             results["engine"][tau] = {
                 "frames_per_pass": frames / max(gsteps, 1),
                 "frames_per_sec": frames / dt,
+                "speedup_vs_plain": frames / dt / plain_eng_fps,
             }
             logging.info("engine tau=%d: %.2f frames/device-pass "
-                         "(occupancy-inclusive), %.0f frames/s",
-                         tau, frames / max(gsteps, 1), frames / dt)
+                         "(occupancy-inclusive), %.0f frames/s (%.2fx "
+                         "plain engine)", tau, frames / max(gsteps, 1),
+                         frames / dt, frames / dt / plain_eng_fps)
 
     print(json.dumps(results, indent=2, default=float))
 
