@@ -97,6 +97,12 @@ def main():
     n_mtp = (jax.tree.leaves(params["mtp_heads"])[0].shape[0]
              if "mtp_heads" in params else 0)
     tau = args.tau or (n_mtp + 1 if n_mtp else 0)
+    if n_mtp and tau > n_mtp + 1:
+        # a tau deeper than the checkpoint's MTP head count would raise in
+        # check_mtp_heads AFTER the earlier (expensive) modes finished
+        logging.warning("clamping --tau %d to the checkpoint's MTP depth "
+                        "%d", tau, n_mtp + 1)
+        tau = n_mtp + 1
     modes = list(args.modes)
     for m in ("spec", "stochastic", "edit_spec", "edit_stoch"):
         if m in modes and (n_mtp == 0 or tau < 2):
@@ -216,7 +222,15 @@ def main():
             durs.append(duration_ratio(ref, audio))
             if mode == "plain":
                 plain_codes[it["id"]] = np.asarray(gcodes)
-            if bit_exact is not None and it["id"] in plain_codes:
+            if bit_exact is not None:
+                # lazy baseline: without this, running spec/stream without
+                # (or before) 'plain' in --modes would silently skip the
+                # advertised bit-exactness check
+                if it["id"] not in plain_codes:
+                    _, pg = inference_tts(params, cfg, it["x"],
+                                          it["prompt"], greedy,
+                                          seed=args.seed)
+                    plain_codes[it["id"]] = np.asarray(pg)
                 p = plain_codes[it["id"]]
                 g = np.asarray(gcodes)
                 bit_exact.append(bool(p.shape == g.shape

@@ -311,14 +311,26 @@ class Engine:
                 # constructed per stream, so arm choice is per sentence)
                 smode = (self.autospec_stream.next_mode()
                          if self.autospec_stream is not None else self.spec)
-                t0, n_frames = time.time(), 0
-                for chunk in stream_tts(self.params, self.cfg, x, codes,
-                                        scfg, seed=seed + i,
-                                        cparams=self.cparams,
-                                        ccfg=ccfg, kv_dtype=self.kv_dtype,
-                                        spec=smode, mesh=self.mesh,
-                                        lanes=n_data,
-                                        burst=int(req.get("burst", 48))):
+                # Time only the producer (time spent inside next() on the
+                # stream_tts generator).  Timing the whole for-loop would
+                # include our own yields to the HTTP writer, which run at
+                # the CLIENT's drain pace — a realtime player would make
+                # every arm report ~identical frames/s and reduce the
+                # bandit to a coin flip.
+                t_decode, n_frames = 0.0, 0
+                stream_it = stream_tts(self.params, self.cfg, x, codes,
+                                       scfg, seed=seed + i,
+                                       cparams=self.cparams,
+                                       ccfg=ccfg, kv_dtype=self.kv_dtype,
+                                       spec=smode, mesh=self.mesh,
+                                       lanes=n_data,
+                                       burst=int(req.get("burst", 48)))
+                while True:
+                    t0 = time.perf_counter()
+                    chunk = next(stream_it, None)
+                    t_decode += time.perf_counter() - t0
+                    if chunk is None:
+                        break
                     n_frames += chunk["frames"].shape[1]
                     audio = chunk.get("audio")
                     if audio is not None and audio.size:
@@ -326,8 +338,7 @@ class Engine:
                                        * 32767).astype("<i2")
                         yield pcm.tobytes()
                 if self.autospec_stream is not None:
-                    self.autospec_stream.observe(smode, n_frames,
-                                                 time.time() - t0)
+                    self.autospec_stream.observe(smode, n_frames, t_decode)
 
     def rerun(self, req: dict) -> dict:
         """Regenerate one sentence of a previous TTS session
@@ -502,7 +513,17 @@ class Engine:
         if "edit_spans" in req:
             # explicit multi-span editing (serve_edit_batch / inference_edit
             # decode all spans in one pass, reference voicecraft.py:561-906)
-            spans_sec = [(float(s), float(e)) for s, e in req["edit_spans"]]
+            spans_sec = sorted((float(s), float(e))
+                               for s, e in req["edit_spans"])
+            for s, e in spans_sec:
+                if not e > s:
+                    raise ValueError(f"edit span [{s}, {e}] has "
+                                     "non-positive length")
+            for (_, e0), (s1, _) in zip(spans_sec, spans_sec[1:]):
+                if s1 < e0:
+                    raise ValueError("edit_spans must be disjoint "
+                                     f"(span starting at {s1}s overlaps "
+                                     f"the previous span ending at {e0}s)")
             left_m = float(req.get("left_margin", req.get("margin", 0.08)))
             right_m = float(req.get("right_margin",
                                     req.get("margin", 0.08)))
@@ -510,6 +531,17 @@ class Engine:
                 s, e, left_margin=left_m, right_margin=right_m,
                 audio_dur=audio_dur, codec_sr=cfg.encodec_sr)
                 for s, e in spans_sec)
+            # margin widening can make adjacent frame intervals touch or
+            # overlap; merge them — the union region is regenerated as one
+            # contiguous edit (the splice in serve_edit_batch assumes
+            # strictly increasing disjoint intervals)
+            merged = [list(intervals[0])]
+            for s, e in intervals[1:]:
+                if s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            intervals = [tuple(iv) for iv in merged]
             x = self._phonemize(target_text)
             slot = {"kind": "edit", "x": x, "codes": codes,
                     "intervals": intervals, "scfg": self._scfg(req),

@@ -74,6 +74,11 @@ def run_edit_mode(args, cfg, params, items, scfg, results):
             continue
         ereqs.append((it["x"], it["codes"], [span]))
     results["edit"] = {"span": [f0, f1], "n_items": len(ereqs)}
+    if not ereqs:
+        logging.warning("no eval utterance long enough for edit span "
+                        "(%s, %s); skipping edit mode", f0, f1)
+        results["edit"]["skipped"] = "no utterance long enough"
+        return
 
     # shared geometry across every config in this run
     cap = cfg.encodec_sr // 5

@@ -31,3 +31,15 @@ def test_export_reload_exact(tmp_path, fmt):
     assert cfg1.card == cfg2.card
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_typod_local_paths_never_hit_the_hub():
+    """Nonexistent paths that are not org/name shaped must raise
+    FileNotFoundError (or the orbax-meta equivalent), not be treated as
+    HF-hub repo ids — a typo'd --model must not trigger network retries
+    in a zero-egress env (inference/loader.py repo_id_shaped guard)."""
+    from voicecraft_tpu.inference.loader import load_model
+    for bad in ["/tmp/definitely/not/a/ckpt_late", "./missing/ckpt",
+                "exp/sub/ckpt_latest", "noslashname_missing"]:
+        with pytest.raises((FileNotFoundError, AssertionError, KeyError)):
+            load_model(bad)

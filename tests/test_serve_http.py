@@ -161,6 +161,26 @@ def test_edit_multi_span(server):
     assert len(ivs) == 2 and ivs[0][1] <= ivs[1][0]
 
 
+def test_edit_multi_span_validation(server):
+    """Overlapping raw spans are rejected; spans whose margin-widened frame
+    intervals overlap merge into one contiguous edit region (the splice in
+    serve_edit_batch assumes strictly increasing disjoint intervals)."""
+    import urllib.error
+    b64 = _prompt_b64()
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server, "/edit", {
+            "wav_b64": b64, "target_transcript": "a b c",
+            "edit_spans": [[0.3, 0.6], [0.5, 0.9]],
+            "top_k": 15, "silence_tokens": [5, 7]})
+    r = _post(server, "/edit", {
+        "wav_b64": b64, "target_transcript": "a very different test phrase",
+        "edit_spans": [[0.3, 0.6], [0.65, 0.9]],
+        "top_k": 15, "silence_tokens": [5, 7]})
+    assert "wav_b64" in r and len(r["wav_b64"]) > 1000
+    # the 0.05 s gap is inside the default 0.08 s margins -> one interval
+    assert len(r["edit_interval_frames"]) == 1
+
+
 def test_tts_smart_transcript(server):
     b64 = _prompt_b64()
     r = _post(server, "/tts", {

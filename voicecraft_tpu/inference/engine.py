@@ -875,4 +875,7 @@ class ContinuousBatcher:
         if pending is not None:
             self._process_burst(pending)
         out, self._results = self._results, {}
+        # nothing in flight can reference pre-run rids any more; without
+        # this a long-lived batcher leaks one set entry per request served
+        self._retired.clear()
         return out

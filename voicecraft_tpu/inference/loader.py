@@ -37,12 +37,17 @@ def load_model(path_or_preset: str, random_init: bool = False,
         from ..utils.convert import load_reference_bundle
         cfg, params, phn2num = load_reference_bundle(path_or_preset)
         return _cpu_dtype_fix(cfg), params, phn2num
-    if "/" in path_or_preset and not os.path.exists(path_or_preset):
+    repo_id_shaped = (path_or_preset.count("/") == 1
+                      and not path_or_preset.startswith(("/", ".", "~"))
+                      and all(path_or_preset.split("/")))
+    if repo_id_shaped and not os.path.exists(path_or_preset):
         # HF-hub repo id (reference PyTorchModelHubMixin.from_pretrained,
         # voicecraft.py:90-104): fetch the snapshot when huggingface_hub is
         # installed and the network is reachable, then load it as a local
         # snapshot dir below.  Zero-egress environments get a clear error
-        # instead of a silent hang.
+        # instead of a silent hang.  Only org/name shapes qualify — a
+        # typo'd local path (absolute, dotted, or multi-segment) must fail
+        # with FileNotFoundError below, not a network retry loop.
         try:
             from huggingface_hub import snapshot_download
         except ImportError as e:
