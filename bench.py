@@ -123,6 +123,10 @@ def main():
                     help="measure streaming TTS first-audio latency "
                          "(inference/streaming.py over the engine, burst "
                          "from --burst) and steady-state chunk cadence")
+    ap.add_argument("--stream-no-codec", action="store_true",
+                    help="with --stream: skip the codec (frames-only "
+                         "chunks) — isolates the engine+callback share of "
+                         "the sustained-rate gap from the codec-feed share")
     args = ap.parse_args()
     if args.platform:
         from voicecraft_tpu.utils.jax_setup import setup as _jax_setup
@@ -345,7 +349,10 @@ def _bench_stream(args, cfg, params, rng):
     K = cfg.n_codebooks
     ccfg = ec.EncodecConfig()            # random weights: timing-equivalent
     import jax
-    cparams = ec.init_encodec(ccfg, jax.random.PRNGKey(0))
+    if args.stream_no_codec:
+        cparams = ccfg = None
+    else:
+        cparams = ec.init_encodec(ccfg, jax.random.PRNGKey(0))
     x_tokens = rng.integers(0, cfg.text_vocab_size,
                             args.phones).astype(np.int32)
     prompt = rng.integers(0, cfg.audio_vocab_size,
@@ -361,7 +368,9 @@ def _bench_stream(args, cfg, params, rng):
                             cparams=cparams, ccfg=ccfg, burst=args.burst,
                             kv_dtype="float8_e4m3fn" if args.kv_fp8
                             else None):
-            if c.get("audio") is not None and c["audio"].size and first is None:
+            ready = (c["frames"].size if args.stream_no_codec
+                     else c.get("audio") is not None and c["audio"].size)
+            if ready and first is None:
                 first = time.perf_counter() - t0
             chunks += 1
             frames += c["frames"].shape[1]
@@ -378,7 +387,8 @@ def _bench_stream(args, cfg, params, rng):
           f"{frames} frames ({audio_sec:.1f}s audio) in {total:.2f}s "
           f"({audio_sec / total:.1f}x realtime)", file=sys.stderr)
     print(json.dumps({
-        "metric": f"tts_stream_first_audio_ms_burst{args.burst}",
+        "metric": f"tts_stream_first_audio_ms_burst{args.burst}"
+                  + ("_nocodec" if args.stream_no_codec else ""),
         "value": round(first * 1e3, 1),
         "unit": "ms",
         "vs_baseline": round((audio_sec / total), 2),
@@ -558,6 +568,30 @@ def _bench_train_profile(args):
     t_gemm, _ = timed(gemm_probe, a1, w1, w2, wq, n=max(args.iters, 10))
     gemm_tflops = probe_flops / t_gemm / 1e12
 
+    # ---- fp8-matmul lever go/no-go (VERDICT r03 #5): same GEMMs with
+    # float8_e4m3fn inputs.  v5e's MXU is bf16-native, so if XLA merely
+    # upcasts, this measures ~bf16 speed minus convert overhead — a
+    # measured NO-GO for fp8 *training* matmuls on this part (fp8 stays a
+    # weight-storage win).  Guarded: some backends reject fp8 dots. ----
+    gemm_fp8_tflops = None
+    try:
+        f8 = jnp.float8_e4m3fn
+
+        @jax.jit
+        def gemm_probe_fp8(a1, w1, w2, wq):
+            h = jax.lax.dot(a1, w1, preferred_element_type=jnp.bfloat16)
+            y = jax.lax.dot(h.astype(f8), w2,
+                            preferred_element_type=jnp.bfloat16)
+            q = jax.lax.dot(a1, wq, preferred_element_type=jnp.bfloat16)
+            return (y * q).sum()
+
+        t_gemm8, _ = timed(gemm_probe_fp8, a1.astype(f8), w1.astype(f8),
+                           w2.astype(f8), wq.astype(f8),
+                           n=max(args.iters, 10))
+        gemm_fp8_tflops = round(probe_flops / t_gemm8 / 1e12, 1)
+    except Exception as e:
+        print(f"fp8 gemm probe failed: {e!r}", file=sys.stderr)
+
     # ---- attribution ----
     # FLOPs convention stated explicitly: the transformer runs B*(Sx+Sy)
     # SEQUENCE POSITIONS per step (each position embeds all K codebooks),
@@ -581,6 +615,7 @@ def _bench_train_profile(args):
         "t_step_s": round(t_step, 4),
         "achieved_tflops": round(step_flops / t_step / 1e12, 1),
         "gemm_probe_tflops": round(gemm_tflops, 1),
+        "gemm_probe_fp8_tflops": gemm_fp8_tflops,
         "frac_fwd": round(t_fwd / t_step, 3),
         "frac_ideal_bwd": round(ideal_bwd / t_step, 3),
         "frac_remat_sched": round(remat_sched / t_step, 3),

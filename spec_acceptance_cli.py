@@ -161,6 +161,12 @@ def main():
                     metavar=("FRAC_START", "FRAC_END"),
                     help="masked interval as fractions of the utterance")
     ap.add_argument("--skip-engine", action="store_true")
+    ap.add_argument("--engine-burst", type=int, default=0,
+                    help="engine burst size override (default 4*tau).  The "
+                         "pipelined engine loop costs one burst of "
+                         "retirement staleness per retire, so long bursts "
+                         "(tau=8 -> 32 steps) interact badly with refill "
+                         "churn; this flag isolates burst size from tau")
     ap.add_argument("--engine-requests", type=int, default=2,
                     help="engine request multiplier: submit N*lanes "
                          "held-out requests (cycled).  2 = the historical "
@@ -397,8 +403,8 @@ def main():
             def make_engine():
                 return ContinuousBatcher(
                     params, cfg, lanes=B, x_pad=x_pad, y_pad=y_pad,
-                    gen_max=gen_max, burst=4 * tau, scfg=scfg, seed=1,
-                    spec=tau, kv_dtype=kv_dtype)
+                    gen_max=gen_max, burst=args.engine_burst or 4 * tau,
+                    scfg=scfg, seed=1, spec=tau, kv_dtype=kv_dtype)
 
             frames, dt, gsteps = run_engine(make_engine, engine_requests())
             results["engine"][tau] = {

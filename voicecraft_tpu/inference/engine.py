@@ -604,6 +604,10 @@ class ContinuousBatcher:
     x_pad: int = 128
     y_pad: int = 192
     gen_max: int = 768
+    # retirement-detection granularity, denominated in generated TOKENS for
+    # every mode (a spec engine runs burst//spec verify passes per burst);
+    # see PERF.md round-4 engine table for the measured burst sensitivity
+    # under steady refill churn
     burst: int = 48
     scfg: SamplingConfig = field(default_factory=SamplingConfig)
     seed: int = 1
@@ -633,6 +637,11 @@ class ContinuousBatcher:
         if self.spec > 1:
             # compact per-lane offsets: slab slack is one block, not a ring
             self._s_max = self.x_pad + self.y_pad + self.gen_max + self.spec
+            # ``burst`` is token-denominated (make_spec_burst_fn runs
+            # burst//tau verify passes per burst); _burst_iters is the
+            # MINIMUM guaranteed token advance per burst (1 token/pass),
+            # used for the drain cap below
+            self._burst_iters = max(1, self.burst // self.spec)
             self._burst_fn = _cached_spec_burst_fn(
                 cfg, self.lanes, self.spec, self.x_pad, self.y_pad,
                 self.gen_max, self.burst, self.scfg,
@@ -641,6 +650,7 @@ class ContinuousBatcher:
             # ring width W = gen_max + burst keeps every live lane's history
             # strictly inside the ring (t_b <= gen_max - 1 < W)
             self._s_max = self.x_pad + self.y_pad + self.gen_max + self.burst
+            self._burst_iters = self.burst
             # jitted fns are cached on geometry so short-lived batchers (e.g.
             # one per streaming HTTP request) don't re-trace/re-compile
             self._burst_fn = _cached_burst_fn(
@@ -844,7 +854,9 @@ class ContinuousBatcher:
         gen_buf per burst (donation would otherwise invalidate burst N's
         rows when N+1 consumes them).  Streamed output is unchanged — rows
         pass through the same monotone prefix-stable snapshots."""
-        full_cap = -(-self.gen_max // self.burst) + 1
+        # non-streaming drain cap: enough bursts to cover gen_max even at
+        # the minimum guaranteed advance (1 token per spec verify pass)
+        full_cap = -(-self.gen_max // self._burst_iters) + 1
         pending = None          # in-flight burst's (status, gen_copy, map)
         while self._queue or any(r is not None for r in self._lane_req):
             self._admit()
