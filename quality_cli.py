@@ -211,6 +211,7 @@ def main():
         lmds, mcds, durs = [], [], []
         bit_exact = [] if mode in ("spec", "stream") else None
         t0 = time.perf_counter()
+        t_baseline = 0.0  # lazy-baseline decodes don't belong to this mode
         for it in items:
             audio, gcodes = gen_for(mode, it)
             # 'resynth' always scores against the RAW ground truth — it is
@@ -227,10 +228,12 @@ def main():
                 # (or before) 'plain' in --modes would silently skip the
                 # advertised bit-exactness check
                 if it["id"] not in plain_codes:
+                    tb = time.perf_counter()
                     _, pg = inference_tts(params, cfg, it["x"],
                                           it["prompt"], greedy,
                                           seed=args.seed)
                     plain_codes[it["id"]] = np.asarray(pg)
+                    t_baseline += time.perf_counter() - tb
                 p = plain_codes[it["id"]]
                 g = np.asarray(gcodes)
                 bit_exact.append(bool(p.shape == g.shape
@@ -241,7 +244,7 @@ def main():
             "mcd_mean": float(np.mean(mcds)),
             "mcd_max": float(np.max(mcds)),
             "duration_ratio_mean": float(np.mean(durs)),
-            "seconds": time.perf_counter() - t0,
+            "seconds": time.perf_counter() - t0 - t_baseline,
         }
         if bit_exact is not None and bit_exact:
             entry["bit_exact_vs_plain"] = all(bit_exact)
@@ -284,6 +287,7 @@ def main():
             lmds, mcds, slmds, smcds, sdurs = [], [], [], [], []
             bit_exact = [] if mode == "edit_spec" else None
             t0 = time.perf_counter()
+            t_baseline = 0.0
             for it in eitems:
                 s, e = it["span"]
                 T = it["codes"].shape[1]
@@ -309,9 +313,11 @@ def main():
                 if bit_exact is not None:
                     # lazy baseline: a user may request edit_spec alone
                     if it["id"] not in edit_codes:
+                        tb = time.perf_counter()
                         edit_codes[it["id"]] = np.asarray(inference_edit(
                             params, cfg, it["x"], it["codes"], [(s, e)],
                             scfg_m, seed=args.seed, spec=0))
+                        t_baseline += time.perf_counter() - tb
                     p = edit_codes[it["id"]]
                     g = np.asarray(res)
                     bit_exact.append(bool(p.shape == g.shape
@@ -323,7 +329,7 @@ def main():
                 "span_log_mel_dist_mean": mean(slmds),
                 "span_mcd_mean": mean(smcds),
                 "span_duration_ratio_mean": mean(sdurs),
-                "seconds": time.perf_counter() - t0,
+                "seconds": time.perf_counter() - t0 - t_baseline,
             }
             if bit_exact is not None and bit_exact:
                 entry["bit_exact_vs_edit"] = all(bit_exact)

@@ -311,12 +311,13 @@ class Engine:
                 # constructed per stream, so arm choice is per sentence)
                 smode = (self.autospec_stream.next_mode()
                          if self.autospec_stream is not None else self.spec)
-                # Time only the producer (time spent inside next() on the
-                # stream_tts generator).  Timing the whole for-loop would
-                # include our own yields to the HTTP writer, which run at
-                # the CLIENT's drain pace — a realtime player would make
-                # every arm report ~identical frames/s and reduce the
-                # bandit to a coin flip.
+                # Decode time comes from the PRODUCER: stream_tts attaches
+                # its worker thread's eng.run() wall time to the final
+                # chunk (t_decode).  Consumer-side timing (of next() or the
+                # for-loop) runs at the CLIENT's drain pace — a realtime
+                # player pre-fills the unbounded queue while we yield, so
+                # every arm would report ~identical frames/s and reduce
+                # the bandit to a coin flip.
                 t_decode, n_frames = 0.0, 0
                 stream_it = stream_tts(self.params, self.cfg, x, codes,
                                        scfg, seed=seed + i,
@@ -325,19 +326,15 @@ class Engine:
                                        spec=smode, mesh=self.mesh,
                                        lanes=n_data,
                                        burst=int(req.get("burst", 48)))
-                while True:
-                    t0 = time.perf_counter()
-                    chunk = next(stream_it, None)
-                    t_decode += time.perf_counter() - t0
-                    if chunk is None:
-                        break
+                for chunk in stream_it:
                     n_frames += chunk["frames"].shape[1]
+                    t_decode = chunk.get("t_decode", t_decode)
                     audio = chunk.get("audio")
                     if audio is not None and audio.size:
                         pcm = np.round(np.clip(audio, -1, 1)
                                        * 32767).astype("<i2")
                         yield pcm.tobytes()
-                if self.autospec_stream is not None:
+                if self.autospec_stream is not None and t_decode > 0:
                     self.autospec_stream.observe(smode, n_frames, t_decode)
 
     def rerun(self, req: dict) -> dict:

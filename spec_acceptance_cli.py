@@ -323,24 +323,29 @@ def main():
         frames = sum(g.shape[1] for _, g in res.values())
         return frames, dt, int(np.asarray(eng._lanes.gstep)) - g0
 
-    def plain_engine_baseline():
-        """Lazy plain continuous-batching baseline at the same eval set and
-        request count, so the engine tau rows have a like-for-like
-        speedup_vs_plain (VERDICT r03 #2: the tau=4->8 engine regression
-        needs a plain anchor, not just tau-vs-tau)."""
-        if "plain_frames_per_sec" not in results["engine"]:
+    def plain_engine_baseline(burst):
+        """Lazy plain continuous-batching baseline at the same eval set,
+        request count, AND burst size as the spec row it anchors, so
+        speedup_vs_plain is like-for-like (the burst size changes the
+        pipelined loop's retirement staleness and host-sync cadence, so a
+        mismatched anchor would conflate speculation gains with burst
+        effects).  Cached per burst — taus that share a burst share the
+        anchor."""
+        key = f"plain_frames_per_sec_burst{burst}"
+        if key not in results["engine"]:
             from voicecraft_tpu.inference.engine import ContinuousBatcher
 
             def make_engine():
                 return ContinuousBatcher(
                     params, cfg, lanes=B, x_pad=x_pad, y_pad=y_pad,
-                    gen_max=gen_max, burst=24, scfg=scfg, seed=1,
+                    gen_max=gen_max, burst=burst, scfg=scfg, seed=1,
                     kv_dtype=kv_dtype)
 
             frames, dt, _ = run_engine(make_engine, engine_requests())
-            results["engine"]["plain_frames_per_sec"] = frames / dt
-            logging.info("plain engine B=%d: %.0f frames/s", B, frames / dt)
-        return results["engine"]["plain_frames_per_sec"]
+            results["engine"][key] = frames / dt
+            logging.info("plain engine B=%d burst=%d: %.0f frames/s", B,
+                         burst, frames / dt)
+        return results["engine"][key]
 
     for tau in args.taus:
         if tau - 1 > n_mtp:
@@ -398,16 +403,18 @@ def main():
         # ---- speculative continuous-batching engine ----
         if not args.skip_engine:
             from voicecraft_tpu.inference.engine import ContinuousBatcher
-            plain_eng_fps = plain_engine_baseline()
+            eng_burst = args.engine_burst or 4 * tau
+            plain_eng_fps = plain_engine_baseline(eng_burst)
 
             def make_engine():
                 return ContinuousBatcher(
                     params, cfg, lanes=B, x_pad=x_pad, y_pad=y_pad,
-                    gen_max=gen_max, burst=args.engine_burst or 4 * tau,
+                    gen_max=gen_max, burst=eng_burst,
                     scfg=scfg, seed=1, spec=tau, kv_dtype=kv_dtype)
 
             frames, dt, gsteps = run_engine(make_engine, engine_requests())
             results["engine"][tau] = {
+                "burst": eng_burst,
                 "frames_per_pass": frames / max(gsteps, 1),
                 "frames_per_sec": frames / dt,
                 "speedup_vs_plain": frames / dt / plain_eng_fps,

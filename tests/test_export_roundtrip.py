@@ -43,3 +43,16 @@ def test_typod_local_paths_never_hit_the_hub():
                 "exp/sub/ckpt_latest", "noslashname_missing"]:
         with pytest.raises((FileNotFoundError, AssertionError, KeyError)):
             load_model(bad)
+
+
+def test_relative_ckpt_path_with_existing_dir_is_local(tmp_path,
+                                                       monkeypatch):
+    """A missing relative path with exactly ONE slash whose first segment
+    exists as a directory (e.g. a typo'd 'exp/ckpt_latest' — the exact
+    layout train_cli produces) is a LOCAL path: it must raise
+    FileNotFoundError, not be classified as an org/name hub id."""
+    from voicecraft_tpu.inference.loader import load_model
+    (tmp_path / "exp").mkdir()
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises((FileNotFoundError, AssertionError, KeyError)):
+        load_model("exp/ckpt_latest")

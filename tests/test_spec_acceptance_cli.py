@@ -60,10 +60,12 @@ def test_spec_acceptance_cli_tts(tiny_ckpt):
     # serving rows carry the shared plain-lockstep baseline
     assert out["serving"]["plain_frames_per_sec"] > 0
     assert out["serving"]["4"]["tokens_per_pass_per_lane"] > 0
-    # engine rows carry the plain continuous-batching anchor
-    assert out["engine"]["plain_frames_per_sec"] > 0
+    # engine rows carry a like-for-like (same-burst) plain anchor
     for tau in ("2", "4"):
         row = out["engine"][tau]
+        burst = row["burst"]
+        assert burst == 4 * int(tau)
+        assert out["engine"][f"plain_frames_per_sec_burst{burst}"] > 0
         assert row["frames_per_pass"] > 0 and row["frames_per_sec"] > 0
         assert row["speedup_vs_plain"] > 0
 

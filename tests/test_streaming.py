@@ -43,6 +43,8 @@ def test_streamed_frames_and_audio_are_exact(setup):
     gen = chunks[-1]["gen"]
     streamed = np.concatenate([c["frames"] for c in chunks], axis=1)
     np.testing.assert_array_equal(streamed, gen)
+    # producer-side decode seconds ride the final chunk (autospec's input)
+    assert chunks[-1]["t_decode"] > 0
 
     audio = np.concatenate([c["audio"] for c in chunks])
     full = ec.decode_bucketed(cparams, gen[None].astype(np.int32), ccfg)[0]

@@ -39,7 +39,13 @@ def load_model(path_or_preset: str, random_init: bool = False,
         return _cpu_dtype_fix(cfg), params, phn2num
     repo_id_shaped = (path_or_preset.count("/") == 1
                       and not path_or_preset.startswith(("/", ".", "~"))
-                      and all(path_or_preset.split("/")))
+                      and all(path_or_preset.split("/"))
+                      # a typo'd RELATIVE checkpoint path whose first segment
+                      # exists locally (e.g. 'exp/ckpt_latest' — the exact
+                      # layout train_cli produces) is a local path, not a hub
+                      # id: fail with FileNotFoundError below, never a
+                      # network retry loop
+                      and not os.path.isdir(path_or_preset.split("/")[0]))
     if repo_id_shaped and not os.path.exists(path_or_preset):
         # HF-hub repo id (reference PyTorchModelHubMixin.from_pretrained,
         # voicecraft.py:90-104): fetch the snapshot when huggingface_hub is

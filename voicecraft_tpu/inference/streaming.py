@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Iterator, Optional
 
 import numpy as np
@@ -97,8 +98,10 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
     Yields dicts with ``frames`` ([K, m] newly settled generated codec
     frames) and, when a codec is supplied, ``audio`` (np.float32 samples —
     exact prefix of the final waveform).  The last chunk additionally
-    carries ``full``/``gen`` with inference_tts output semantics; the
-    streamed frames concatenate to exactly ``gen``.
+    carries ``full``/``gen`` with inference_tts output semantics (the
+    streamed frames concatenate to exactly ``gen``) and ``t_decode``, the
+    producer-side wall seconds of the whole engine run — the right number
+    for throughput accounting regardless of how fast the consumer drains.
 
     ``mesh``: shard the engine's lanes over the mesh's 'data' axis
     (ContinuousBatcher(mesh=...)); ``lanes`` must then be a multiple of the
@@ -141,9 +144,15 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
     rid = eng.submit(x_tokens, y_codes, on_rows=on_rows)
 
     def work():
+        # decode time is measured HERE, at the producer: the queue is
+        # unbounded so eng.run()'s wall time never includes consumer drain
+        # pace (a realtime-paced HTTP client pre-fills the queue while the
+        # handler yields, collapsing consumer-side next() timings to ~0 —
+        # useless for the autospec bandit's frames/s comparison)
+        t0 = time.perf_counter()
         try:
             res = eng.run()
-            q.put(("done", res[rid]))
+            q.put(("done", (res[rid], time.perf_counter() - t0)))
         except _StreamCancelled:
             pass
         except Exception as e:  # surfaced to the consumer
@@ -164,9 +173,10 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
                     chunk["audio"] = streamer.feed(payload)
                 yield chunk
                 continue
-            full, gen = payload
+            (full, gen), t_run = payload
             rest = gen[:, sent["n"]:]
-            chunk = {"frames": rest, "full": full, "gen": gen}
+            chunk = {"frames": rest, "full": full, "gen": gen,
+                     "t_decode": t_run}
             if streamer is not None:
                 chunk["audio"] = np.concatenate(
                     [streamer.feed(rest), streamer.flush()])
