@@ -123,6 +123,11 @@ def main():
                     help="measure streaming TTS first-audio latency "
                          "(inference/streaming.py over the engine, burst "
                          "from --burst) and steady-state chunk cadence")
+    ap.add_argument("--stream-no-pipeline", action="store_true",
+                    help="with --stream: disable the one-burst-ahead "
+                         "pipelined engine loop (synchronous per-burst "
+                         "readbacks — the pre-r04 behavior) for A/B "
+                         "measurement of the pipeline's win")
     ap.add_argument("--stream-no-codec", action="store_true",
                     help="with --stream: skip the codec (frames-only "
                          "chunks) — isolates the engine+callback share of "
@@ -367,7 +372,8 @@ def _bench_stream(args, cfg, params, rng):
         for c in stream_tts(params, cfg, x_tokens, prompt, scfg, seed=1,
                             cparams=cparams, ccfg=ccfg, burst=args.burst,
                             kv_dtype="float8_e4m3fn" if args.kv_fp8
-                            else None):
+                            else None,
+                            pipeline=not args.stream_no_pipeline):
             ready = (c["frames"].size if args.stream_no_codec
                      else c.get("audio") is not None and c["audio"].size)
             if ready and first is None:
@@ -388,7 +394,8 @@ def _bench_stream(args, cfg, params, rng):
           f"({audio_sec / total:.1f}x realtime)", file=sys.stderr)
     print(json.dumps({
         "metric": f"tts_stream_first_audio_ms_burst{args.burst}"
-                  + ("_nocodec" if args.stream_no_codec else ""),
+                  + ("_nocodec" if args.stream_no_codec else "")
+                  + ("_nopipe" if args.stream_no_pipeline else ""),
         "value": round(first * 1e3, 1),
         "unit": "ms",
         "vs_baseline": round((audio_sec / total), 2),

@@ -174,6 +174,10 @@ def main():
                          "approximates steady state and isolates the "
                          "ramp-down share of the tau=8 engine regression "
                          "(VERDICT r03 #2)")
+    ap.add_argument("--skip-serving", action="store_true",
+                    help="skip the lockstep-serving rows (useful for "
+                         "engine-isolation runs where serving numbers are "
+                         "already on record)")
     ap.add_argument("--skip-single", action="store_true",
                     help="measure only serving/engine (skips the "
                          "single-stream loops and their compiles — useful "
@@ -379,26 +383,28 @@ def main():
                 results["single"][tau]["speedup_vs_plain"])
 
         # ---- lockstep spec serving ----
-        plain_fps = plain_serving_baseline()
-        loop = _get_spec_serving_loop(cfg, B, tau, x_pad, y_pad, gen_max,
-                                      scfg, kv_dtype)
-        a = (params,) + serve_args
-        out = loop(*a)                        # compile
-        t0 = time.perf_counter()
-        out = loop(*a)
-        t_acc = np.asarray(out[1])
-        dt = time.perf_counter() - t0
-        n_passes = int(out[2])
-        results["serving"][tau] = {
-            "tokens_per_pass_per_lane": float(t_acc.sum())
-                                        / max(n_passes, 1) / B,
-            "frames_per_sec": float(t_acc.sum()) / dt,
-            "speedup_vs_plain": float(t_acc.sum()) / dt / plain_fps,
-        }
-        logging.info(
-            "serving tau=%d B=%d: %.2f tok/pass/lane, %.0f frames/s",
-            tau, B, results["serving"][tau]["tokens_per_pass_per_lane"],
-            results["serving"][tau]["frames_per_sec"])
+        if not args.skip_serving:
+            plain_fps = plain_serving_baseline()
+            loop = _get_spec_serving_loop(cfg, B, tau, x_pad, y_pad,
+                                          gen_max, scfg, kv_dtype)
+            a = (params,) + serve_args
+            out = loop(*a)                    # compile
+            t0 = time.perf_counter()
+            out = loop(*a)
+            t_acc = np.asarray(out[1])
+            dt = time.perf_counter() - t0
+            n_passes = int(out[2])
+            results["serving"][tau] = {
+                "tokens_per_pass_per_lane": float(t_acc.sum())
+                                            / max(n_passes, 1) / B,
+                "frames_per_sec": float(t_acc.sum()) / dt,
+                "speedup_vs_plain": float(t_acc.sum()) / dt / plain_fps,
+            }
+            logging.info(
+                "serving tau=%d B=%d: %.2f tok/pass/lane, %.0f frames/s",
+                tau, B,
+                results["serving"][tau]["tokens_per_pass_per_lane"],
+                results["serving"][tau]["frames_per_sec"])
 
         # ---- speculative continuous-batching engine ----
         if not args.skip_engine:

@@ -52,6 +52,22 @@ def test_streamed_frames_and_audio_are_exact(setup):
     np.testing.assert_array_equal(audio, full)
 
 
+def test_streaming_pipeline_ab_identical(setup):
+    """pipeline=False (synchronous per-burst readbacks, the pre-r04 loop)
+    must produce the identical chunk stream as the pipelined default —
+    the A/B toggle bench.py --stream-no-pipeline measures is
+    output-invisible."""
+    cfg, params, ccfg, cparams, x, y = setup
+    scfg = SamplingConfig(top_k=10, top_p=0.9, silence_tokens=(5, 7))
+    piped = list(stream_tts(params, cfg, x, y, scfg, seed=3, burst=16))
+    sync = list(stream_tts(params, cfg, x, y, scfg, seed=3, burst=16,
+                           pipeline=False))
+    np.testing.assert_array_equal(piped[-1]["gen"], sync[-1]["gen"])
+    s1 = np.concatenate([c["frames"] for c in piped], axis=1)
+    s2 = np.concatenate([c["frames"] for c in sync], axis=1)
+    np.testing.assert_array_equal(s1, s2)
+
+
 def test_streaming_matches_non_streamed_engine(setup):
     """Same seed, same geometry: the streamed request must produce the
     identical tokens as a plain engine run (per-burst syncing cannot

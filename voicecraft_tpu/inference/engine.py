@@ -626,6 +626,12 @@ class ContinuousBatcher:
     # may additionally be tensor-parallel over 'model' (parallel/mesh.py).
     # lanes must be divisible by the data axis size.
     mesh: Any = None
+    # streaming-mode burst pipelining (run one burst ahead of the host so
+    # callback + readback hide behind device compute).  False = synchronous
+    # per-burst processing — the pre-pipelining behavior, kept for A/B
+    # measurement (bench.py --stream --stream-no-pipeline) and as an escape
+    # hatch for consumers that need zero retirement staleness.
+    pipeline: bool = True
 
     def __post_init__(self):
         cfg = self.cfg
@@ -870,7 +876,10 @@ class ContinuousBatcher:
                                jnp.asarray(1 if streaming else full_cap,
                                            jnp.int32))
             self._status = status
-            if streaming:
+            if streaming and not self.pipeline:
+                self._process_burst((status, self._gen_buf,
+                                     list(self._lane_req)))
+            elif streaming:
                 # snapshot rows NOW (async device copy): the next burst
                 # dispatch donates self._gen_buf
                 gen_copy = jnp.copy(self._gen_buf)

@@ -92,7 +92,7 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
                burst: int = 48, gen_max: Optional[int] = None,
                kv_dtype: Optional[str] = None,
                spec: int = 0, mesh=None,
-               lanes: int = 1) -> Iterator[dict]:
+               lanes: int = 1, pipeline: bool = True) -> Iterator[dict]:
     """Generator of streaming TTS chunks for one request.
 
     Yields dicts with ``frames`` ([K, m] newly settled generated codec
@@ -122,7 +122,7 @@ def stream_tts(params, cfg: ModelConfig, x_tokens: np.ndarray,
         x_pad=_ceil(len(x_tokens), 32),
         y_pad=_ceil(prefix_len, 64),
         gen_max=gen_max, burst=burst, scfg=scfg, seed=seed,
-        kv_dtype=kv_dtype, spec=spec, mesh=mesh)
+        kv_dtype=kv_dtype, spec=spec, mesh=mesh, pipeline=pipeline)
 
     q: "queue.Queue" = queue.Queue()
     sent = {"n": 0}
