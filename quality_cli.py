@@ -53,6 +53,13 @@ def main():
     ap.add_argument("--codec-bins", type=int, default=None)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--prompt-sec", type=float, default=2.0)
+    ap.add_argument("--min-sec", type=float, default=0.0,
+                    help="skip eval utterances shorter than this.  With a "
+                         "2 s prompt, a 2.2 s utterance leaves a 0.2 s "
+                         "ground-truth continuation — its duration_ratio "
+                         "and distances measure nothing; quality tables "
+                         "should use utterances comfortably longer than "
+                         "the prompt (e.g. --min-sec 4)")
     ap.add_argument("--modes", nargs="*", default=list(ALL_MODES),
                     choices=list(ALL_MODES))
     ap.add_argument("--edit-span", type=float, nargs=2, default=[0.4, 0.7],
@@ -135,10 +142,13 @@ def main():
                            stop_repetition=3, spec_sampling="stochastic")
 
     items = []
-    for wav_path in sorted(glob.glob(
-            os.path.join(args.eval_dir, "*.wav")))[:args.n]:
+    for wav_path in sorted(glob.glob(os.path.join(args.eval_dir, "*.wav"))):
+        if len(items) >= args.n:
+            break
         text = open(wav_path[:-4] + ".txt").read().strip()
         wav = au.load_audio(wav_path, ccfg.sample_rate)
+        if wav.shape[-1] < args.min_sec * ccfg.sample_rate:
+            continue
         codes = ec.encode_bucketed(cparams, wav, ccfg)[0]
         x = np.asarray(phones_to_ids(tok.phonemize(text), phn2num), np.int32)
         p_frames = int(args.prompt_sec * ccfg.frame_rate)
