@@ -505,6 +505,11 @@ def _bench_train_profile(args):
         _ = np.asarray(readback(out))
         t0 = time.perf_counter()
         for _i in range(n):
+            # free the previous output BEFORE recomputing: at the grads
+            # rung `out` is a full param-sized pytree (3.3 GB at 830M) and
+            # holding two copies OOMs the 16 GB chip (unlike the trainer,
+            # which never keeps a stale grads buffer alive)
+            out = None
             out = fn(*a)
             _ = np.asarray(readback(out))
         return (time.perf_counter() - t0) / n, out
@@ -530,16 +535,25 @@ def _bench_train_profile(args):
         readback=lambda o: o[1])
     ntok = float(np.asarray(ntok))
 
-    # ---- optimizer update (NOT donated so it can repeat on the same
-    # inputs; donation only removes copies, it doesn't change compute) ----
-    def update_fn(p, o, g, l):
+    # ---- optimizer update.  Donated and CHAINED (the new state feeds the
+    # next call) — an undonated repeat holds params + opt + grads + new
+    # params + new opt at once (~16.6 GB at 830M f32), which OOMs; chaining
+    # keeps the same per-call compute with the trainer's real memory
+    # profile.  The evolving state changes VALUES, not shapes/compute. ----
+    def update_fn(p, o, g):
         updates, new_o = tx.update(g, o, p)
         new_p = optax.apply_updates(p, updates)
         return new_p, new_o
 
-    update_jit = jax.jit(update_fn)
-    t_upd, _ = timed(update_jit, params, opt_state, grads, loss,
-                     readback=lambda r: r[0]["alpha_audio"])
+    update_jit = jax.jit(update_fn, donate_argnums=(0, 1))
+    state = update_jit(params, opt_state, grads)      # compile + warm
+    _ = np.asarray(state[0]["alpha_audio"])
+    t0 = time.perf_counter()
+    for _i in range(args.iters):
+        state = update_jit(state[0], state[1], grads)
+        _ = np.asarray(state[0]["alpha_audio"])
+    t_upd = (time.perf_counter() - t0) / args.iters
+    params, opt_state = state
 
     # ---- optional jax.profiler trace of real steps ----
     if args.profile_dir:
@@ -547,8 +561,9 @@ def _bench_train_profile(args):
             with jax.profiler.trace(args.profile_dir):
                 for i in range(3):
                     g, l, _ = grads_jit(params, batch, jax.random.PRNGKey(i))
-                    p2, o2 = update_jit(params, opt_state, g, l)
-                _ = np.asarray(p2["alpha_audio"])
+                    # chain through the donated update, as in training
+                    params, opt_state = update_jit(params, opt_state, g)
+                _ = np.asarray(params["alpha_audio"])
             print(f"profiler trace written to {args.profile_dir}",
                   file=sys.stderr)
         except Exception as e:  # the tunnel backend may not support it

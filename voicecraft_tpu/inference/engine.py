@@ -156,11 +156,18 @@ def _lane_decode_step(params, x_t, cache, nhead, x_lens, x_pad, prefix_lens,
 
 def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
                   y_pad: int, gen_max: int, burst: int,
-                  scfg: SamplingConfig):
+                  scfg: SamplingConfig, donate_gen: bool = True):
     """Jitted: run ``burst`` decode steps for all active lanes.
 
     Returns fn(params, cache, lanes, gen_buf [B, gen_max, K])
-      -> (cache, lanes, gen_buf)."""
+      -> (cache, lanes, gen_buf).
+
+    ``donate_gen=False`` keeps the gen_buf input buffer alive (output is a
+    fresh buffer): required by the pipelined streaming loop, which reads
+    burst N's gen_buf on the host while burst N+1 runs — donating it there
+    raises FailedPrecondition on the TPU backend (donation requested while
+    the host still holds the previous output).  Costs one [B, gen_max, K]
+    int32 device copy per burst (~2 MB at 32 lanes; negligible)."""
     K, D = cfg.n_codebooks, cfg.d_model
     B = batch_size
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -276,12 +283,14 @@ def make_burst_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
              jnp.all(lanes.codebook_eog, axis=1).astype(jnp.int32)], axis=1)
         return cache, lanes, gen_buf, status
 
-    return jax.jit(burst_fn, donate_argnums=(1, 3))
+    return jax.jit(burst_fn,
+                   donate_argnums=(1, 3) if donate_gen else (1,))
 
 
 def make_spec_burst_fn(cfg: ModelConfig, *, batch_size: int, n_draft: int,
                        x_pad: int, y_pad: int, gen_max: int, burst: int,
-                       scfg: SamplingConfig, force_accept: bool = False):
+                       scfg: SamplingConfig, force_accept: bool = False,
+                       donate_gen: bool = True):
     """Jitted: speculative burst — verified tau-token passes for all lanes.
 
     Speculative continuous batching: each device pass feeds every live lane
@@ -397,7 +406,8 @@ def make_spec_burst_fn(cfg: ModelConfig, *, batch_size: int, n_draft: int,
              jnp.all(lanes.codebook_eog, axis=1).astype(jnp.int32)], axis=1)
         return cache, lanes, gen_buf, status
 
-    return jax.jit(burst_fn, donate_argnums=(1, 3))
+    return jax.jit(burst_fn,
+                   donate_argnums=(1, 3) if donate_gen else (1,))
 
 
 def make_prefill_batch_fn(cfg: ModelConfig, *, batch_size: int, x_pad: int,
@@ -555,18 +565,21 @@ def make_prefill_lane_fn(cfg: ModelConfig, *, x_pad: int, y_pad: int,
 
 
 @lru_cache(maxsize=8)
-def _cached_burst_fn(cfg, lanes, x_pad, y_pad, gen_max, burst, scfg):
+def _cached_burst_fn(cfg, lanes, x_pad, y_pad, gen_max, burst, scfg,
+                     donate_gen=True):
     return make_burst_fn(cfg, batch_size=lanes, x_pad=x_pad, y_pad=y_pad,
-                         gen_max=gen_max, burst=burst, scfg=scfg)
+                         gen_max=gen_max, burst=burst, scfg=scfg,
+                         donate_gen=donate_gen)
 
 
 @lru_cache(maxsize=8)
 def _cached_spec_burst_fn(cfg, lanes, n_draft, x_pad, y_pad, gen_max, burst,
-                          scfg, force_accept=False):
+                          scfg, force_accept=False, donate_gen=True):
     return make_spec_burst_fn(cfg, batch_size=lanes, n_draft=n_draft,
                               x_pad=x_pad, y_pad=y_pad, gen_max=gen_max,
                               burst=burst, scfg=scfg,
-                              force_accept=force_accept)
+                              force_accept=force_accept,
+                              donate_gen=donate_gen)
 
 
 @lru_cache(maxsize=8)
@@ -648,10 +661,11 @@ class ContinuousBatcher:
             # MINIMUM guaranteed token advance per burst (1 token/pass),
             # used for the drain cap below
             self._burst_iters = max(1, self.burst // self.spec)
-            self._burst_fn = _cached_spec_burst_fn(
+            self._make_burst = lambda donate: _cached_spec_burst_fn(
                 cfg, self.lanes, self.spec, self.x_pad, self.y_pad,
                 self.gen_max, self.burst, self.scfg,
-                self.spec_force_accept)
+                self.spec_force_accept, donate)
+            self._burst_fn = self._make_burst(True)
         else:
             # ring width W = gen_max + burst keeps every live lane's history
             # strictly inside the ring (t_b <= gen_max - 1 < W)
@@ -659,9 +673,10 @@ class ContinuousBatcher:
             self._burst_iters = self.burst
             # jitted fns are cached on geometry so short-lived batchers (e.g.
             # one per streaming HTTP request) don't re-trace/re-compile
-            self._burst_fn = _cached_burst_fn(
+            self._make_burst = lambda donate: _cached_burst_fn(
                 cfg, self.lanes, self.x_pad, self.y_pad, self.gen_max,
-                self.burst, self.scfg)
+                self.burst, self.scfg, donate)
+            self._burst_fn = self._make_burst(True)
         self._prefill_fn = _cached_prefill_batch_fn(
             cfg, self.lanes, self.x_pad, self.y_pad, self._s_max,
             self.kv_dtype)
@@ -856,34 +871,39 @@ class ContinuousBatcher:
         read back, so callback + readback time hides behind device compute
         instead of stalling it.  Costs: one burst of retirement staleness
         (a finished lane decodes ~one extra burst of ignored rows; its
-        replacement admits one iteration later) and a device-side copy of
-        gen_buf per burst (donation would otherwise invalidate burst N's
-        rows when N+1 consumes them).  Streamed output is unchanged — rows
-        pass through the same monotone prefix-stable snapshots."""
+        replacement admits one iteration later) and a gen_buf copy per
+        burst — made inside a non-donating burst-fn variant, NOT an eager
+        jnp.copy: the eager copy held a read on the buffer the next
+        dispatch donates, which the TPU backend rejects with
+        FailedPrecondition (measured round 5; CPU tolerates it).  Streamed
+        output is unchanged — rows pass through the same monotone
+        prefix-stable snapshots."""
         # non-streaming drain cap: enough bursts to cover gen_max even at
         # the minimum guaranteed advance (1 token per spec verify pass)
         full_cap = -(-self.gen_max // self._burst_iters) + 1
-        pending = None          # in-flight burst's (status, gen_copy, map)
+        pending = None          # in-flight burst's (status, gen_src, map)
         while self._queue or any(r is not None for r in self._lane_req):
             self._admit()
             streaming = (any(rid in self._stream_cbs
                              for rid in self._lane_req if rid is not None)
                          or any(rid in self._stream_cbs
                                 for rid, _, _ in self._queue))
+            # gen_buf may only be donated when nothing else references it:
+            # a pipelined snapshot (``pending``) holds the PREVIOUS burst's
+            # output, which is exactly this call's gen_buf input.
+            donate = pending is None and not (streaming and self.pipeline)
             self._cache, self._lanes, self._gen_buf, status = \
-                self._burst_fn(self.params, self._cache, self._lanes,
-                               self._gen_buf,
-                               jnp.asarray(1 if streaming else full_cap,
-                                           jnp.int32))
+                self._make_burst(donate)(
+                    self.params, self._cache, self._lanes, self._gen_buf,
+                    jnp.asarray(1 if streaming else full_cap, jnp.int32))
             self._status = status
             if streaming and not self.pipeline:
                 self._process_burst((status, self._gen_buf,
                                      list(self._lane_req)))
             elif streaming:
-                # snapshot rows NOW (async device copy): the next burst
-                # dispatch donates self._gen_buf
-                gen_copy = jnp.copy(self._gen_buf)
-                new_pending = (status, gen_copy, list(self._lane_req))
+                # the non-donating burst fn keeps this output buffer valid
+                # across the NEXT dispatch — no host-side copy needed
+                new_pending = (status, self._gen_buf, list(self._lane_req))
                 if pending is not None:
                     self._process_burst(pending)   # overlaps next burst
                 pending = new_pending
